@@ -1,0 +1,3 @@
+from . import synthetic  # noqa: F401 — populate registry
+from . import real  # noqa: F401
+from .base import DatasetSplits, load_dataset

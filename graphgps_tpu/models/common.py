@@ -1,0 +1,122 @@
+"""Shared model building blocks: masked norms, MLP, activations.
+
+Masking is load-bearing (SURVEY.md §7.1): the reference's BatchNorm sees only real
+nodes because PyG batches are ragged (e.g. gatedgcn_layer.py:72-73); here BatchNorm
+statistics are computed over ``mask`` explicitly so padded slots never contaminate
+running stats.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..registry import act_dict, register_act
+
+register_act("relu")(nn.relu)
+register_act("gelu")(nn.gelu)
+register_act("silu")(nn.silu)
+register_act("swish")(nn.silu)
+register_act("tanh")(jnp.tanh)
+register_act("elu")(nn.elu)
+register_act("lrelu_03")(lambda x: nn.leaky_relu(x, 0.3))
+register_act("identity")(lambda x: x)
+
+
+def get_act(name: str) -> Callable:
+    if name == "prelu":  # parametric: handled as leaky relu on TPU path
+        return lambda x: nn.leaky_relu(x, 0.25)
+    return act_dict[name]
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over masked rows with running statistics.
+
+    ``mask`` selects real rows; padded rows neither contribute to statistics nor
+    receive gradients through them (they are normalized with the same stats but
+    downstream ops mask them out).
+    """
+
+    momentum: float = 0.9
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array],
+                 train: bool) -> jax.Array:
+        d = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((d,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((d,)))
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+
+        if train:
+            if mask is None:
+                mean = x.mean(axis=0)
+                var = x.var(axis=0)
+            else:
+                m = mask.astype(x.dtype)[:, None]
+                cnt = jnp.maximum(m.sum(), 1.0)
+                mean = (x * m).sum(axis=0) / cnt
+                var = (((x - mean) ** 2) * m).sum(axis=0) / cnt
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y
+
+
+class MaskedLayerNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None,
+                 train: bool = False) -> jax.Array:
+        return nn.LayerNorm(epsilon=self.eps)(x)
+
+
+class Norm(nn.Module):
+    """Dispatch: batch_norm / layer_norm / none, uniform call signature."""
+
+    batch_norm: bool = True
+    layer_norm: bool = False
+    eps: float = 1e-5
+    momentum: float = 0.9
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        if self.layer_norm:
+            return MaskedLayerNorm(eps=self.eps)(x, mask, train)
+        if self.batch_norm:
+            return MaskedBatchNorm(eps=self.eps, momentum=self.momentum)(x, mask, train)
+        return x
+
+
+class MLP(nn.Module):
+    """L-layer MLP with activation between layers."""
+
+    hidden_dim: int
+    out_dim: int
+    num_layers: int = 2
+    act: str = "relu"
+    with_final_act: bool = False
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        a = get_act(self.act)
+        for i in range(self.num_layers - 1):
+            x = a(nn.Dense(self.hidden_dim, use_bias=self.use_bias)(x))
+        x = nn.Dense(self.out_dim, use_bias=self.use_bias)(x)
+        if self.with_final_act:
+            x = a(x)
+        return x
+
+
+def dropout(x, rate: float, deterministic: bool, rng_collection: str = "dropout"):
+    if rate == 0.0:
+        return x
+    return nn.Dropout(rate=rate, deterministic=deterministic)(x)

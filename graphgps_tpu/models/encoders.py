@@ -1,0 +1,347 @@
+"""Node/edge feature + PE encoders.
+
+Capability parity with /root/reference/graphgps/encoder/* (SURVEY.md §2.5). All
+encoders are flax modules over the flat padded node space (B*Nmax, ·); composed
+"DS+PE1+PE2" encoder names (composed_encoders.py:19-156) are resolved by
+``FeatureEncoder`` in networks.py: the dataset encoder embeds raw features into
+``dim_emb - Σ dim_pe`` channels and each PE encoder appends its ``dim_pe``.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..data.graph import GraphBatch
+from ..registry import register_edge_encoder, register_node_encoder
+from .common import MLP, MaskedBatchNorm, get_act
+
+# OGB molecule feature cardinalities (ogb.utils.features get_atom/bond_feature_dims)
+ATOM_FEATURE_DIMS = [119, 5, 12, 12, 10, 6, 6, 2, 2]
+BOND_FEATURE_DIMS = [5, 6, 2]
+
+
+# --- dataset node encoders ---------------------------------------------------------
+
+@register_node_encoder("TypeDictNode")
+class TypeDictNodeEncoder(nn.Module):
+    """Single-embedding integer-type encoder (reference type_dict_encoder.py:85-99;
+    ZINC: 28 types, AQSOL: 65)."""
+
+    dim_emb: int
+    num_types: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        codes = batch.node_feat[:, 0].astype(jnp.int32)
+        return nn.Embed(self.num_types, self.dim_emb)(codes)
+
+
+@register_node_encoder("Atom")
+class AtomEncoder(nn.Module):
+    """OGB AtomEncoder: sum of per-feature embeddings (GraphGym external dep,
+    reference composed_encoders.py:3)."""
+
+    dim_emb: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        feats = batch.node_feat.astype(jnp.int32)
+        out = 0.0
+        for i, card in enumerate(ATOM_FEATURE_DIMS[:feats.shape[1]]):
+            out = out + nn.Embed(card, self.dim_emb)(jnp.clip(feats[:, i], 0, card - 1))
+        return out
+
+
+@register_node_encoder("LinearNode")
+class LinearNodeEncoder(nn.Module):
+    """reference linear_node_encoder.py:6-15."""
+
+    dim_emb: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        return nn.Dense(self.dim_emb)(batch.node_feat.astype(jnp.float32))
+
+
+@register_node_encoder("VOCNode")
+class VOCNodeEncoder(nn.Module):
+    """reference voc_superpixels_encoder.py:19-34 (Linear 14→d)."""
+
+    dim_emb: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        return nn.Dense(self.dim_emb)(batch.node_feat.astype(jnp.float32))
+
+
+@register_node_encoder("COCONode")
+class COCONodeEncoder(nn.Module):
+    dim_emb: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        return nn.Dense(self.dim_emb)(batch.node_feat.astype(jnp.float32))
+
+
+@register_node_encoder("PPANode")
+class PPANodeEncoder(nn.Module):
+    """ogbg-ppa: uniform zero node features → single learned embedding
+    (reference ppa_encoder.py:6-16)."""
+
+    dim_emb: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        emb = self.param("emb", nn.initializers.normal(0.02), (self.dim_emb,))
+        return jnp.broadcast_to(emb, (batch.num_node_slots, self.dim_emb))
+
+
+# --- dataset edge encoders ---------------------------------------------------------
+
+@register_edge_encoder("TypeDictEdge")
+class TypeDictEdgeEncoder(nn.Module):
+    dim_emb: int
+    num_types: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool):
+        codes = batch.edge_feat[:, 0].astype(jnp.int32)
+        return nn.Embed(self.num_types, self.dim_emb)(codes)
+
+
+@register_edge_encoder("Bond")
+class BondEncoder(nn.Module):
+    dim_emb: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool):
+        feats = batch.edge_feat.astype(jnp.int32)
+        out = 0.0
+        for i, card in enumerate(BOND_FEATURE_DIMS[:feats.shape[1]]):
+            out = out + nn.Embed(card, self.dim_emb)(jnp.clip(feats[:, i], 0, card - 1))
+        return out
+
+
+@register_edge_encoder("LinearEdge")
+@register_edge_encoder("VOCEdge")
+class LinearEdgeEncoder(nn.Module):
+    dim_emb: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool):
+        return nn.Dense(self.dim_emb)(batch.edge_feat.astype(jnp.float32))
+
+
+@register_edge_encoder("DummyEdge")
+class DummyEdgeEncoder(nn.Module):
+    """Single learned embedding for featureless edges (reference
+    dummy_edge_encoder.py:5-17)."""
+
+    dim_emb: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool):
+        emb = self.param("emb", nn.initializers.normal(0.02), (self.dim_emb,))
+        return jnp.broadcast_to(emb, (batch.max_edges, self.dim_emb))
+
+
+@register_edge_encoder("PPAEdge")
+class PPAEdgeEncoder(nn.Module):
+    dim_emb: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool):
+        return nn.Dense(self.dim_emb)(batch.edge_feat.astype(jnp.float32))
+
+
+# --- PE encoders (append dim_pe channels to x) -------------------------------------
+
+class KernelPENodeEncoder(nn.Module):
+    """RWSE/HKdiagSE/ElstaticSE: raw-norm → Linear/MLP → concat
+    (reference kernel_pos_encoder.py:8-124)."""
+
+    kernel_type: str = "RWSE"  # pestat key
+    dim_pe: int = 16
+    model: str = "Linear"     # Linear / mlp
+    layers: int = 2
+    raw_norm_type: str = "BatchNorm"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        pos = batch.pe[f"pestat_{self.kernel_type}"].astype(jnp.float32)
+        if self.raw_norm_type.lower() == "batchnorm":
+            pos = MaskedBatchNorm()(pos, batch.node_mask, train)
+        if self.model == "Linear":
+            pe = nn.Dense(self.dim_pe)(pos)
+        else:
+            pe = MLP(hidden_dim=self.dim_pe, out_dim=self.dim_pe,
+                     num_layers=max(1, self.layers), act="relu",
+                     with_final_act=True)(pos)
+        return jnp.concatenate([x, pe], axis=-1) if x is not None else pe
+
+
+@register_node_encoder("RWSE")
+class RWSENodeEncoder(KernelPENodeEncoder):
+    kernel_type: str = "RWSE"
+
+
+@register_node_encoder("HKdiagSE")
+class HKdiagSENodeEncoder(KernelPENodeEncoder):
+    kernel_type: str = "HKdiagSE"
+
+
+@register_node_encoder("ElstaticSE")
+class ElstaticSENodeEncoder(KernelPENodeEncoder):
+    kernel_type: str = "ElstaticSE"
+
+
+@register_node_encoder("LapPE")
+class LapPENodeEncoder(nn.Module):
+    """LapPE with training-time random sign flip + DeepSet/Transformer over the
+    frequency axis (reference laplace_pos_encoder.py:8-144). NaN-padded
+    frequencies are masked."""
+
+    dim_pe: int
+    model: str = "DeepSet"    # DeepSet / Transformer
+    layers: int = 2
+    n_heads: int = 4
+    post_layers: int = 0
+    max_freqs: int = 10
+    raw_norm_type: str = "none"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        evecs = batch.pe["EigVecs"].astype(jnp.float32)          # (S, K)
+        evals = batch.extras["EigVals"].astype(jnp.float32)       # (B, 1, K)
+        K = evecs.shape[1]
+        freq_mask = ~jnp.isnan(evecs)                             # (S, K)
+        evecs = jnp.nan_to_num(evecs)
+        if train:
+            sign = jnp.where(
+                jax.random.bernoulli(self.make_rng("signflip"), 0.5, (K,)), 1.0, -1.0)
+            evecs = evecs * sign[None, :]
+        ev = jnp.nan_to_num(evals).reshape(batch.num_graphs, K)
+        ev_nodes = jnp.repeat(ev, batch.max_nodes, axis=0)        # (S, K)
+        h = jnp.stack([evecs, ev_nodes], axis=-1)                 # (S, K, 2)
+        h = nn.Dense(self.dim_pe)(h)
+        if self.model == "Transformer":
+            for _ in range(self.layers):
+                q = nn.DenseGeneral((self.n_heads, self.dim_pe // self.n_heads))(h)
+                k = nn.DenseGeneral((self.n_heads, self.dim_pe // self.n_heads))(h)
+                v = nn.DenseGeneral((self.n_heads, self.dim_pe // self.n_heads))(h)
+                logits = jnp.einsum("skhd,slhd->shkl", q, k) / jnp.sqrt(
+                    self.dim_pe / self.n_heads)
+                logits = jnp.where(freq_mask[:, None, None, :], logits, -1e30)
+                attn = jax.nn.softmax(logits, axis=-1)
+                o = jnp.einsum("shkl,slhd->skhd", attn, v).reshape(h.shape[0], K, -1)
+                h = h + nn.Dense(self.dim_pe)(o)
+        else:
+            for _ in range(self.layers):
+                h = nn.relu(nn.Dense(self.dim_pe)(h))
+        h = jnp.where(freq_mask[..., None], h, 0.0)
+        pe = h.sum(axis=1)                                        # sum over freqs
+        if self.post_layers > 0:
+            pe = MLP(hidden_dim=self.dim_pe, out_dim=self.dim_pe,
+                     num_layers=self.post_layers, with_final_act=True)(pe)
+        return jnp.concatenate([x, pe], axis=-1) if x is not None else pe
+
+
+@register_node_encoder("EquivStableLapPE")
+class EquivStableLapPEEncoder(nn.Module):
+    """Linear K→dim_pe of eigvecs, stashed for edge-message scaling in local GNNs
+    (reference equivstable_laplace_pos_encoder.py:8-51). Returns x unchanged; the
+    PE is read from batch.pe by GatedGCN/GINE layers."""
+
+    dim_pe: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        evecs = jnp.nan_to_num(batch.pe["EigVecs"].astype(jnp.float32))
+        pe = nn.Dense(self.dim_pe)(evecs)
+        batch.pe["pe_EquivStableLapPE"] = pe  # side-channel (dict mutation is host-side)
+        return x
+
+
+@register_node_encoder("SignNet")
+class SignNetNodeEncoder(nn.Module):
+    """SignNet: φ(v)+φ(−v) per eigenvector channel via a GIN, then ρ-MLP
+    (reference signnet_pos_encoder.py:110-278, GINDeepSigns)."""
+
+    dim_pe: int
+    phi_hidden_dim: int = 64
+    phi_out_dim: int = 4
+    layers: int = 3          # GIN layers in φ
+    post_layers: int = 2     # ρ MLP layers
+    max_freqs: int = 10
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        evecs = batch.pe["eigvecs_sn"].astype(jnp.float32)  # (S, K)
+        K = evecs.shape[1]
+        freq_mask = ~jnp.isnan(evecs)
+        v = jnp.nan_to_num(evecs).T[..., None]              # (K, S, 1)
+
+        sender_idx, receiver_idx = batch.senders, batch.receivers
+        emask = batch.edge_mask
+
+        # Sign-invariant φ(v) + φ(−v): same submodule (shared params) on ±v.
+        stack = _GINStack(self.layers, self.phi_hidden_dim, self.phi_out_dim)
+        hpos = stack(v, sender_idx, receiver_idx, emask, batch.num_node_slots)
+        hneg = stack(-v, sender_idx, receiver_idx, emask, batch.num_node_slots)
+        h = hpos + hneg                                      # (K, S, phi_out)
+        h = jnp.where(freq_mask.T[..., None], h, 0.0)
+        h = h.transpose(1, 0, 2).reshape(evecs.shape[0], K * self.phi_out_dim)
+        pe = MLP(hidden_dim=self.dim_pe, out_dim=self.dim_pe,
+                 num_layers=self.post_layers)(h)
+        return jnp.concatenate([x, pe], axis=-1) if x is not None else pe
+
+
+class _GINStack(nn.Module):
+    layers: int
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, z, senders, receivers, emask, num_slots):
+        from ..ops.segment import segment_sum
+
+        h = z  # (K, S, d)
+        for li in range(self.layers):
+            msgs = h[:, senders, :] * emask[None, :, None]
+            agg = jax.vmap(lambda m: segment_sum(m, receivers, num_slots))(msgs)
+            out_dim = self.hidden if li < self.layers - 1 else self.out
+            h = MLP(hidden_dim=self.hidden, out_dim=out_dim, num_layers=2,
+                    with_final_act=True)(h + agg)
+        return h
+
+
+@register_node_encoder("GraphormerBias")
+class GraphormerBiasEncoder(nn.Module):
+    """Graphormer spatial bias + degree embeddings
+    (reference graphormer_encoder.py:103-253). Writes the per-head additive
+    attention bias into ``batch.extras['attn_bias']`` (B,H,N,N) and adds degree
+    embeddings to x."""
+
+    num_heads: int
+    num_spatial_types: int = 20
+    num_in_degrees: int = 64
+    num_out_degrees: int = 64
+    node_degrees_only: bool = False
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        if not self.node_degrees_only:
+            spatial = batch.extras["spatial_types"].astype(jnp.int32)  # (B, N, N)
+            bias = nn.Embed(self.num_spatial_types + 2, self.num_heads)(spatial)
+            batch.extras["attn_bias"] = bias.transpose(0, 3, 1, 2)     # (B,H,N,N)
+        in_deg = jnp.clip(batch.pe["in_degrees"][:, 0].astype(jnp.int32), 0,
+                          self.num_in_degrees - 1)
+        out_deg = jnp.clip(batch.pe["out_degrees"][:, 0].astype(jnp.int32), 0,
+                           self.num_out_degrees - 1)
+        d = x.shape[-1]
+        x = x + nn.Embed(self.num_in_degrees, d)(in_deg)
+        x = x + nn.Embed(self.num_out_degrees, d)(out_deg)
+        return x

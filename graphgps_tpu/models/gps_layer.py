@@ -1,0 +1,156 @@
+"""The GPS layer: local MPNN ‖ global attention → sum → FFN.
+
+TPU-native redesign of /root/reference/graphgps/layer/gps_layer.py:16-264. Key
+differences from the reference:
+- no per-layer ragged→dense round trip: the dense attention view is a free
+  reshape of the canonical flat padded layout (data/graph.py);
+- the local and global branches read the SAME node tensor and are summed, with
+  dropout+residual+norm per branch, then a 2-layer FFN — identical math;
+- Performer projection redraw and BigBird random-block plans use explicit,
+  step-deterministic randomness (SURVEY.md §7.3.4).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..data.graph import GraphBatch
+from ..ops import favor
+from ..ops.bigbird import bigbird_block_mask
+from ..ops.mha import mha_core, merge_heads, split_heads
+from .common import Norm, get_act
+from .local_gnn import (GATLayer, GCNLayer, GENConvLayer, GINELayer, GINLayer,
+                        GatedGCNLayer, PNALayer)
+
+LOCAL_TYPES = ("None", "GCN", "GIN", "GENConv", "GINE", "GAT", "PNA",
+               "CustomGatedGCN")
+GLOBAL_TYPES = ("None", "Transformer", "BiasedTransformer", "Performer", "BigBird")
+
+
+class GPSLayer(nn.Module):
+    dim_h: int
+    local_gnn_type: str
+    global_model_type: str
+    num_heads: int
+    layer_index: int = 0
+    act: str = "relu"
+    pna_degrees: tuple = ()
+    equivstable_pe: bool = False
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    layer_norm: bool = False
+    batch_norm: bool = True
+    log_attn_weights: bool = False
+    # performer
+    performer_nb_features: Optional[int] = None
+    performer_redraw_interval: int = 1000
+    # bigbird
+    bigbird_block_size: int = 3
+    bigbird_num_random_blocks: int = 3
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x: jax.Array, e: Optional[jax.Array],
+                 train: bool, step: Optional[jax.Array] = None):
+        h_in = x
+        d = self.dim_h
+        outs = []
+
+        # ---- local MPNN branch ------------------------------------------------
+        lt = self.local_gnn_type
+        if lt != "None":
+            if lt == "CustomGatedGCN":
+                # GatedGCN handles its own norm/act/dropout/residual and returns
+                # updated edge features (reference gps_layer.py:163-174).
+                h_local, e = GatedGCNLayer(
+                    dim=d, dropout=self.dropout, residual=True, act=self.act,
+                    equivstable_pe=self.equivstable_pe,
+                    batch_norm=self.batch_norm)(batch, x, e, train)
+            else:
+                if lt == "GINE":
+                    h_local, _ = GINELayer(dim=d, act=self.act,
+                                           equivstable_pe=self.equivstable_pe)(
+                                               batch, x, e, train)
+                elif lt == "GIN":
+                    h_local, _ = GINLayer(dim=d, act=self.act)(batch, x, e, train)
+                elif lt == "GCN":
+                    h_local, _ = GCNLayer(dim=d)(batch, x, e, train)
+                elif lt == "GAT":
+                    h_local, _ = GATLayer(dim=d, heads=self.num_heads)(
+                        batch, x, e, train)
+                elif lt == "GENConv":
+                    h_local, _ = GENConvLayer(dim=d)(batch, x, e, train)
+                elif lt == "PNA":
+                    h_local, _ = PNALayer(dim=d, degrees=tuple(self.pna_degrees))(
+                        batch, x, e, train)
+                else:
+                    raise ValueError(f"unknown local gnn {lt}")
+                h_local = nn.Dropout(self.dropout, deterministic=not train)(h_local)
+                h_local = h_in + h_local
+                h_local = Norm(batch_norm=self.batch_norm,
+                               layer_norm=self.layer_norm)(
+                                   h_local, batch.node_mask, train)
+            outs.append(h_local)
+
+        # ---- global attention branch -----------------------------------------
+        gt = self.global_model_type
+        if gt != "None":
+            B, N = batch.num_graphs, batch.max_nodes
+            H, Dh = self.num_heads, d // self.num_heads
+            xd = batch.dense_view(x)                       # (B, N, d) free reshape
+            kmask = batch.dense_view(batch.node_mask)      # (B, N)
+            q = split_heads(nn.Dense(d)(xd), H)
+            k = split_heads(nn.Dense(d)(xd), H)
+            v = split_heads(nn.Dense(d)(xd), H)
+
+            if gt in ("Transformer", "BiasedTransformer"):
+                bias = None
+                if gt == "BiasedTransformer":
+                    bias = batch.extras["attn_bias"]       # (B, H, N, N)
+                rng = (self.make_rng("dropout")
+                       if train and self.attn_dropout > 0 else None)
+                o = mha_core(q, k, v, kmask, bias=bias,
+                             dropout_rate=self.attn_dropout if train else 0.0,
+                             dropout_rng=rng)
+            elif gt == "Performer":
+                m = self.performer_nb_features or int(
+                    Dh * np.log(max(Dh, 2)))
+                key = jax.random.PRNGKey(7919 + 31 * self.layer_index)
+                proj = favor.draw_projection(
+                    key, step if train else None,
+                    self.performer_redraw_interval, m, Dh)
+                o = favor.favor_attention(q, k, v, kmask, proj)
+            elif gt == "BigBird":
+                bmask = jnp.asarray(bigbird_block_mask(
+                    N, self.bigbird_block_size, self.bigbird_num_random_blocks,
+                    seed=self.layer_index))
+                bias = jnp.where(bmask, 0.0, -1e30)[None, None, :, :]
+                o = mha_core(q, k, v, kmask, bias=bias)
+            else:
+                raise ValueError(f"unknown global model {gt}")
+
+            h_attn = batch.flat_view(merge_heads(o))
+            h_attn = nn.Dense(d)(h_attn)                  # output projection
+            h_attn = nn.Dropout(self.dropout, deterministic=not train)(h_attn)
+            h_attn = h_in + h_attn
+            h_attn = Norm(batch_norm=self.batch_norm, layer_norm=self.layer_norm)(
+                h_attn, batch.node_mask, train)
+            outs.append(h_attn)
+
+        h = sum(outs) if outs else x
+
+        # ---- FFN --------------------------------------------------------------
+        a = get_act(self.act)
+        h2 = nn.Dense(d * 2)(h)
+        h2 = nn.Dropout(self.dropout, deterministic=not train)(a(h2))
+        h2 = nn.Dense(d)(h2)
+        h2 = nn.Dropout(self.dropout, deterministic=not train)(h2)
+        h = h + h2
+        h = Norm(batch_norm=self.batch_norm, layer_norm=self.layer_norm)(
+            h, batch.node_mask, train)
+        # zero padded slots so they never leak into aggregations
+        h = jnp.where(batch.node_mask[:, None], h, 0.0)
+        return h, e

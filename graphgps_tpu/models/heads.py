@@ -1,0 +1,188 @@
+"""Prediction heads + pooling.
+
+Capability parity with /root/reference/graphgps/head/* and pooling/graph_token.py.
+All pooling is masked over the flat padded node layout.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..data.graph import GraphBatch
+from ..ops.segment import segment_mean, segment_sum
+from ..registry import register_head, register_pooling
+from .common import MLP, get_act
+
+
+@register_pooling("add")
+def global_add_pool(x: jax.Array, batch: GraphBatch) -> jax.Array:
+    return segment_sum(x, batch.graph_id, batch.num_graphs, mask=batch.node_mask)
+
+
+@register_pooling("mean")
+def global_mean_pool(x: jax.Array, batch: GraphBatch) -> jax.Array:
+    return segment_mean(x, batch.graph_id, batch.num_graphs, mask=batch.node_mask)
+
+
+@register_pooling("max")
+def global_max_pool(x: jax.Array, batch: GraphBatch) -> jax.Array:
+    from ..ops.segment import segment_max
+    return segment_max(x, batch.graph_id, batch.num_graphs, mask=batch.node_mask)
+
+
+@register_pooling("graph_token")
+def graph_token_pool(x: jax.Array, batch: GraphBatch) -> jax.Array:
+    """Take node 0 of each graph — the Graphormer [CLS] token
+    (reference pooling/graph_token.py:5-12)."""
+    return batch.dense_view(x)[:, 0, :]
+
+
+def get_pooling(name: str):
+    from ..registry import pooling_dict
+    return pooling_dict[name]
+
+
+@register_head("san_graph")
+class SANGraphHead(nn.Module):
+    """Pool → L× halving linears with activation → out
+    (reference head/san_graph.py:8-42)."""
+
+    dim_in: int
+    dim_out: int
+    pooling: str = "add"
+    layers: int = 3
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        g = get_pooling(self.pooling)(x, batch)
+        a = get_act(self.act)
+        d = self.dim_in
+        for l in range(self.layers - 1):
+            g = a(nn.Dense(d // 2)(g))
+            d = d // 2
+        pred = nn.Dense(self.dim_out)(g)
+        return pred, batch.y
+
+
+@register_head("default")
+@register_head("graph")
+class GNNGraphHead(nn.Module):
+    """GraphGym default graph head: pool → MLP (used by molpcba/peptides configs,
+    reference configs/GPS/ogbg-molpcba-GPS+RWSE.yaml:45)."""
+
+    dim_in: int
+    dim_out: int
+    pooling: str = "mean"
+    layers: int = 1
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        g = get_pooling(self.pooling)(x, batch)
+        pred = MLP(hidden_dim=self.dim_in, out_dim=self.dim_out,
+                   num_layers=max(1, self.layers), act=self.act)(g)
+        return pred, batch.y
+
+
+@register_head("inductive_node")
+class InductiveNodeHead(nn.Module):
+    """Node-level MLP head (reference head/inductive_node.py:7-29)."""
+
+    dim_in: int
+    dim_out: int
+    layers: int = 3
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        pred = MLP(hidden_dim=self.dim_in, out_dim=self.dim_out,
+                   num_layers=max(1, self.layers), act=self.act)(x)
+        return pred, batch.y
+
+
+@register_head("graphormer_graph")
+class GraphormerGraphHead(nn.Module):
+    """LN → graph-token pool → linear (reference head/graphormer_graph.py:8-37)."""
+
+    dim_in: int
+    dim_out: int
+    pooling: str = "graph_token"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        x = nn.LayerNorm()(x)
+        g = get_pooling(self.pooling)(x, batch)
+        return nn.Dense(self.dim_out)(g), batch.y
+
+
+@register_head("inductive_edge")
+class InductiveEdgeHead(nn.Module):
+    """Link prediction with dot/cosine/concat decoders
+    (reference head/inductive_edge.py:9-155). Expects
+    batch.extras['edge_label_index'] (B?, 2, P) flat node indices and
+    batch.extras['edge_label'] targets."""
+
+    dim_in: int
+    dim_out: int
+    layers: int = 2
+    decoding: str = "dot"
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        x = MLP(hidden_dim=self.dim_in, out_dim=self.dim_in,
+                num_layers=max(1, self.layers), act=self.act)(x)
+        eli = batch.extras["edge_label_index"].astype(jnp.int32)
+        if eli.ndim == 3:
+            eli = eli.reshape(2, -1) if eli.shape[0] == 2 else eli.transpose(1, 0, 2).reshape(2, -1)
+        src, dst = x[eli[0]], x[eli[1]]
+        if self.decoding == "dot":
+            pred = (src * dst).sum(-1)
+        elif self.decoding == "cosine_similarity":
+            pred = (src * dst).sum(-1) / (
+                jnp.linalg.norm(src, axis=-1) * jnp.linalg.norm(dst, axis=-1) + 1e-8)
+        else:  # concat
+            pred = nn.Dense(1)(jnp.concatenate([src, dst], axis=-1))[..., 0]
+        return pred, batch.extras.get("edge_label")
+
+
+@register_head("ogb_code_graph")
+class OGBCodeGraphHead(nn.Module):
+    """5 parallel vocab classifiers for ogbg-code2 subtoken prediction
+    (reference head/ogb_code_graph.py:8-45)."""
+
+    dim_in: int
+    dim_out: int = 5002
+    seq_len: int = 5
+    pooling: str = "mean"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        g = get_pooling(self.pooling)(x, batch)
+        preds = jnp.stack([nn.Dense(self.dim_out)(g) for _ in range(self.seq_len)],
+                          axis=1)  # (B, seq, vocab)
+        return preds, batch.y
+
+
+@register_head("infer_links")
+class InferLinksHead(nn.Module):
+    """Link-inference probe over the complete edge index
+    (reference head/infer_links.py:6-29)."""
+
+    dim_in: int
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        cei = batch.extras["complete_edge_index"].astype(jnp.int32)  # (B, 2, P)
+        B = cei.shape[0]
+        off = (jnp.arange(B) * batch.max_nodes)[:, None]
+        src = x[(cei[:, 0] + off).reshape(-1)]
+        dst = x[(cei[:, 1] + off).reshape(-1)]
+        pred = MLP(hidden_dim=self.dim_in, out_dim=self.dim_out,
+                   num_layers=2)(jnp.concatenate([src, dst], axis=-1))
+        return pred, batch.extras.get("link_label")

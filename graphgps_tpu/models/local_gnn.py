@@ -1,0 +1,252 @@
+"""Local message-passing layers over the flat padded CSR edge list.
+
+TPU-native re-derivations of the reference's PyG conv zoo
+(/root/reference/graphgps/layer/gatedgcn_layer.py:11-137, gine_conv_layer.py:11-132,
+and the GCN/GIN/GAT/PNA/GENConv options selected in gps_layer.py:43-99). Every
+layer is: gather sender/receiver rows → edge compute (VPU/MXU) → masked
+segment-aggregate to receivers. Signature: ``(batch, x, e, train) → (x', e')``.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..data.graph import GraphBatch
+from ..ops.segment import (segment_max, segment_mean, segment_min, segment_softmax,
+                           segment_sum)
+from ..registry import register_layer
+from .common import MLP, Norm, get_act
+
+
+def _es_pe_scale(batch: GraphBatch, mlp: nn.Module) -> Optional[jax.Array]:
+    """EquivStableLapPE edge-message scaling r_ij = MLP(‖PE_i−PE_j‖²)
+    (reference gatedgcn_layer.py:88-107, gine_conv_layer.py:60-87)."""
+    pe = batch.pe.get("pe_EquivStableLapPE")
+    if pe is None:
+        return None
+    diff = pe[batch.senders] - pe[batch.receivers]
+    return mlp(jnp.sum(diff * diff, axis=-1, keepdims=True))
+
+
+@register_layer("gatedgcnconv")
+class GatedGCNLayer(nn.Module):
+    """Residual gated graph convnet (Bresson & Laurent) — updates BOTH node and
+    edge features (reference gatedgcn_layer.py:11-137)."""
+
+    dim: int
+    dropout: float = 0.0
+    residual: bool = True
+    act: str = "relu"
+    equivstable_pe: bool = False
+    batch_norm: bool = True
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, e, train: bool):
+        x_in, e_in = x, e
+        Ax = nn.Dense(self.dim)(x)
+        Bx = nn.Dense(self.dim)(x)
+        Ce = nn.Dense(self.dim)(e)
+        Dx = nn.Dense(self.dim)(x)
+        Ex = nn.Dense(self.dim)(x)
+
+        s, r = batch.senders, batch.receivers
+        e_gate = Dx[r] + Ex[s] + Ce                      # (E, d) pre-activation gate
+        sigma = nn.sigmoid(e_gate)
+        if self.equivstable_pe:
+            rij = _es_pe_scale(batch, MLP(hidden_dim=self.dim, out_dim=1,
+                                          num_layers=2, act="relu"))
+            if rij is not None:
+                sigma = sigma * nn.sigmoid(rij)
+        msgs = sigma * Bx[s]
+        num = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask)
+        den = segment_sum(sigma, r, batch.num_node_slots, mask=batch.edge_mask)
+        x_new = Ax + num / (den + 1e-6)
+
+        a = get_act(self.act)
+        x_new = Norm(batch_norm=self.batch_norm, layer_norm=False)(
+            x_new, batch.node_mask, train)
+        e_new = Norm(batch_norm=self.batch_norm, layer_norm=False)(
+            e_gate, batch.edge_mask, train)
+        x_new, e_new = a(x_new), a(e_new)
+        x_new = nn.Dropout(self.dropout, deterministic=not train)(x_new)
+        e_new = nn.Dropout(self.dropout, deterministic=not train)(e_new)
+        if self.residual:
+            x_new = x_in + x_new
+            e_new = e_in + e_new
+        return x_new, e_new
+
+
+@register_layer("gineconv")
+class GINELayer(nn.Module):
+    """GINEConv (+optional ES-LapPE message scaling): m = relu(x_s + e) [* r_ij],
+    out = MLP((1+ε)·x_r + Σ m) (reference gine_conv_layer.py:11-132)."""
+
+    dim: int
+    dropout: float = 0.0
+    residual: bool = True
+    act: str = "relu"
+    equivstable_pe: bool = False
+    batch_norm: bool = False
+    wrap_norm_act: bool = False  # True for custom_gnn-style wrapped layer
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, e, train: bool):
+        x_in = x
+        eps = self.param("eps", nn.initializers.zeros, ())
+        s, r = batch.senders, batch.receivers
+        m = nn.relu(x[s] + e)
+        if self.equivstable_pe:
+            rij = _es_pe_scale(batch, MLP(hidden_dim=self.dim, out_dim=1,
+                                          num_layers=2, act="relu"))
+            if rij is not None:
+                m = m * nn.sigmoid(rij)
+        agg = segment_sum(m, r, batch.num_node_slots, mask=batch.edge_mask)
+        h = (1.0 + eps) * x + agg
+        h = MLP(hidden_dim=self.dim, out_dim=self.dim, num_layers=2,
+                act=self.act)(h)
+        if self.wrap_norm_act:
+            h = Norm(batch_norm=self.batch_norm)(h, batch.node_mask, train)
+            h = get_act(self.act)(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            if self.residual:
+                h = x_in + h
+        return h, e
+
+
+@register_layer("ginconv")
+class GINLayer(nn.Module):
+    dim: int
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, e, train: bool):
+        eps = self.param("eps", nn.initializers.zeros, ())
+        agg = segment_sum(x[batch.senders], batch.receivers, batch.num_node_slots,
+                          mask=batch.edge_mask)
+        h = MLP(hidden_dim=self.dim, out_dim=self.dim, num_layers=2,
+                act=self.act)((1.0 + eps) * x + agg)
+        return h, e
+
+
+@register_layer("gcnconv")
+class GCNLayer(nn.Module):
+    """GCN with symmetric degree normalization (self-loops added implicitly)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, e, train: bool):
+        s, r = batch.senders, batch.receivers
+        h = nn.Dense(self.dim)(x)
+        ones = batch.edge_mask.astype(h.dtype)
+        deg = segment_sum(ones, r, batch.num_node_slots) + 1.0  # +1 self loop
+        dinv = jax.lax.rsqrt(deg)
+        msgs = (h[s] * dinv[s, None] * dinv[r, None])
+        agg = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask)
+        return agg + h * (dinv * dinv)[:, None], e
+
+
+@register_layer("gatconv")
+class GATLayer(nn.Module):
+    """GAT with per-head scatter-softmax attention over incoming edges."""
+
+    dim: int
+    heads: int = 4
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, e, train: bool):
+        H, Dh = self.heads, self.dim // self.heads
+        s, r = batch.senders, batch.receivers
+        h = nn.DenseGeneral((H, Dh))(x)                        # (S, H, Dh)
+        a_src = self.param("a_src", nn.initializers.glorot_uniform(), (H, Dh))
+        a_dst = self.param("a_dst", nn.initializers.glorot_uniform(), (H, Dh))
+        alpha = (h[s] * a_src).sum(-1) + (h[r] * a_dst).sum(-1)  # (E, H)
+        alpha = nn.leaky_relu(alpha, self.negative_slope)
+        attn = segment_softmax(alpha, r, batch.num_node_slots, mask=batch.edge_mask)
+        msgs = h[s] * attn[..., None]
+        agg = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask)
+        return agg.reshape(x.shape[0], H * Dh), e
+
+
+@register_layer("genconv")
+class GENConvLayer(nn.Module):
+    """GENConv softmax aggregation: m = relu(x_s + e) + ε;
+    agg = Σ softmax_t(m)·m (DeeperGCN)."""
+
+    dim: int
+    beta: float = 1.0
+    eps: float = 1e-7
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, e, train: bool):
+        s, r = batch.senders, batch.receivers
+        m = nn.relu(x[s] + e) + self.eps
+        w = segment_softmax(self.beta * m, r, batch.num_node_slots,
+                            mask=batch.edge_mask)
+        agg = segment_sum(w * m, r, batch.num_node_slots, mask=batch.edge_mask)
+        h = MLP(hidden_dim=self.dim * 2, out_dim=self.dim, num_layers=2)(x + agg)
+        return h, e
+
+
+@register_layer("pnaconv")
+class PNALayer(nn.Module):
+    """Principal Neighbourhood Aggregation: towers over
+    {mean,max,min,std} aggregators × {identity,amplification,attenuation}
+    degree-scalers (reference gps_layer.py:74-90; PNAConvSimple semantics)."""
+
+    dim: int
+    degrees: Sequence[int] = ()
+    aggregators: Sequence[str] = ("mean", "max", "min", "std")
+    scalers: Sequence[str] = ("identity", "amplification", "attenuation")
+    use_edge_feat: bool = True
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, e, train: bool):
+        s, r = batch.senders, batch.receivers
+        S = batch.num_node_slots
+        if self.use_edge_feat and e is not None:
+            m = nn.Dense(self.dim)(jnp.concatenate([x[s], x[r], e], axis=-1))
+        else:
+            m = nn.Dense(self.dim)(jnp.concatenate([x[s], x[r]], axis=-1))
+
+        aggs = []
+        mean = segment_mean(m, r, S, mask=batch.edge_mask)
+        for name in self.aggregators:
+            if name == "mean":
+                aggs.append(mean)
+            elif name == "max":
+                aggs.append(segment_max(m, r, S, mask=batch.edge_mask))
+            elif name == "min":
+                aggs.append(segment_min(m, r, S, mask=batch.edge_mask))
+            elif name == "std":
+                sq = segment_mean(m * m, r, S, mask=batch.edge_mask)
+                aggs.append(jnp.sqrt(nn.relu(sq - mean * mean) + 1e-5))
+            elif name == "sum":
+                aggs.append(segment_sum(m, r, S, mask=batch.edge_mask))
+        h = jnp.concatenate(aggs, axis=-1)
+
+        # degree scalers with train-set log-degree statistics
+        ones = batch.edge_mask.astype(x.dtype)
+        deg = segment_sum(ones, r, S)
+        if len(self.degrees):
+            import numpy as np
+            dvals = np.arange(len(self.degrees))
+            dcnt = np.array(self.degrees, dtype=np.float64)
+            delta = float((np.log(dvals + 1) * dcnt).sum() / max(dcnt.sum(), 1.0))
+        else:
+            delta = 1.0
+        logd = jnp.log(deg + 1.0)[:, None]
+        scaled = []
+        for name in self.scalers:
+            if name == "identity":
+                scaled.append(h)
+            elif name == "amplification":
+                scaled.append(h * (logd / delta))
+            elif name == "attenuation":
+                scaled.append(h * (delta / jnp.maximum(logd, 1e-5)))
+        h = jnp.concatenate(scaled, axis=-1)
+        return nn.Dense(self.dim)(h), e

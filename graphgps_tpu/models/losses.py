@@ -1,0 +1,119 @@
+"""Loss functions.
+
+Capability parity with /root/reference/graphgps/loss/* plus GraphGym's default
+``compute_loss`` dispatch (reference custom_train.py:8,29). All losses honor the
+graph/node masks so padded entries contribute zero.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..registry import loss_dict, register_loss
+
+
+def _masked_mean(vals: jax.Array, mask: jax.Array) -> jax.Array:
+    m = mask.astype(vals.dtype)
+    m = m.reshape(m.shape + (1,) * (vals.ndim - m.ndim))
+    return (vals * m).sum() / jnp.maximum((jnp.ones_like(vals) * m).sum(), 1.0)
+
+
+@register_loss("l1")
+def l1_loss(pred, true, mask):
+    """reference loss/l1.py:6-10."""
+    return _masked_mean(jnp.abs(pred - jnp.nan_to_num(true)), mask)
+
+
+@register_loss("smoothl1")
+def smooth_l1_loss(pred, true, mask, beta: float = 1.0):
+    d = jnp.abs(pred - jnp.nan_to_num(true))
+    vals = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+    return _masked_mean(vals, mask)
+
+
+@register_loss("mse")
+def mse_loss(pred, true, mask):
+    return _masked_mean((pred - jnp.nan_to_num(true)) ** 2, mask)
+
+
+@register_loss("cross_entropy")
+def cross_entropy(pred, true, mask):
+    """Multiclass CE with integer targets; pred (R, C), true (R,)."""
+    logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
+    tgt = jnp.clip(true.astype(jnp.int32), 0, pred.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    return _masked_mean(nll, mask)
+
+
+@register_loss("binary_cross_entropy")
+def binary_cross_entropy(pred, true, mask):
+    """Binary CE with logits; pred (R,) or (R,1)."""
+    pred = pred.reshape(pred.shape[0], -1)[:, 0].astype(jnp.float32)
+    t = jnp.nan_to_num(true.astype(jnp.float32)).reshape(pred.shape)
+    vals = jnp.maximum(pred, 0) - pred * t + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+    return _masked_mean(vals, mask)
+
+
+@register_loss("multilabel_cross_entropy")
+def multilabel_cross_entropy(pred, true, mask):
+    """BCE-with-logits with NaN-target filtering
+    (reference loss/multilabel_classification_loss.py:6-16)."""
+    pred = pred.astype(jnp.float32)
+    valid = ~jnp.isnan(true)
+    t = jnp.nan_to_num(true.astype(jnp.float32))
+    vals = jnp.maximum(pred, 0) - pred * t + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+    m = mask.reshape(mask.shape + (1,) * (vals.ndim - mask.ndim)) & valid
+    return (vals * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+@register_loss("weighted_cross_entropy")
+def weighted_cross_entropy(pred, true, mask):
+    """Inverse-class-frequency weighted CE for PATTERN/CLUSTER/VOC/COCO
+    (reference loss/weighted_cross_entropy.py:7-29). Weights computed per batch
+    from masked label counts."""
+    C = pred.shape[-1]
+    tgt = jnp.clip(true.astype(jnp.int32), 0, C - 1)
+    m = mask.astype(jnp.float32)
+    onehot = jax.nn.one_hot(tgt, C) * m[..., None]
+    counts = onehot.sum(axis=tuple(range(onehot.ndim - 1)))
+    total = jnp.maximum(m.sum(), 1.0)
+    weight = total / jnp.maximum(counts * C, 1.0)
+    logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
+    nll = -(jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0])
+    w = weight[tgt]
+    return (nll * w * m).sum() / jnp.maximum((w * m).sum(), 1.0)
+
+
+@register_loss("subtoken_cross_entropy")
+def subtoken_cross_entropy(pred, true, mask):
+    """Mean CE over sequence positions (reference loss/subtoken_prediction_loss.py:6-21).
+    pred (B, seq, vocab), true (B, seq)."""
+    logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
+    tgt = jnp.clip(true.astype(jnp.int32), 0, pred.shape[-1] - 1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]  # (B, seq)
+    m = mask.astype(jnp.float32)[:, None]
+    return (nll * m).sum() / jnp.maximum(m.sum() * pred.shape[1], 1.0)
+
+
+def compute_loss(cfg, pred, true, mask) -> jax.Array:
+    """Task-type dispatch (GraphGym compute_loss capability)."""
+    name = cfg.model.loss_fun
+    tt = cfg.dataset.task_type
+    if name in ("cross_entropy", "ce") or (name == "auto"):
+        if tt == "regression":
+            name = "mse"
+        elif tt == "classification_multilabel":
+            name = "multilabel_cross_entropy"
+        elif tt == "classification_binary":
+            name = "binary_cross_entropy"
+        elif tt == "subtoken_prediction":
+            name = "subtoken_cross_entropy"
+        else:
+            name = "cross_entropy"
+    if name == "cross_entropy" and tt == "classification_multilabel":
+        name = "multilabel_cross_entropy"
+    if name == "cross_entropy" and tt == "classification_binary":
+        name = "binary_cross_entropy"
+    return loss_dict[name](pred, true, mask)

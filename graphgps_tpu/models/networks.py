@@ -1,0 +1,322 @@
+"""Networks: FeatureEncoder composition + GPSModel + the standalone model zoo.
+
+Capability parity with /root/reference/graphgps/network/* (gps_model.py:12-108,
+san_transformer.py:11-56, graphormer.py:10-52, performer.py:10-43, big_bird.py:10-46,
+custom_gnn.py:12-55) and the composed-encoder factory
+(encoder/composed_encoders.py:19-156): encoder names like "TypeDictNode+RWSE" give
+the dataset encoder ``dim_emb − Σ dim_pe`` channels and append each PE encoding.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config.config import CfgNode
+from ..data.graph import GraphBatch
+from ..registry import (edge_encoder_dict, head_dict, network_dict,
+                        node_encoder_dict, register_network)
+from .common import MaskedBatchNorm, Norm, get_act
+from .encoders import *  # noqa: F401,F403 — populate registries
+from .gps_layer import GPSLayer
+from .graphormer import GraphormerLayer
+from .heads import *  # noqa: F401,F403
+from .local_gnn import GINELayer, GatedGCNLayer
+from .san import SANLayer
+
+PE_ENCODERS = ("LapPE", "RWSE", "HKdiagSE", "ElstaticSE", "SignNet",
+               "EquivStableLapPE", "GraphormerBias")
+
+
+def _make_node_encoder(name: str, dim_emb: int, cfg: CfgNode):
+    """Instantiate one node-encoder module by registry name."""
+    if name == "TypeDictNode":
+        return node_encoder_dict[name](dim_emb=dim_emb,
+                                       num_types=cfg.dataset.node_encoder_num_types)
+    if name in ("Atom", "LinearNode", "VOCNode", "COCONode", "PPANode"):
+        return node_encoder_dict[name](dim_emb=dim_emb)
+    if name in ("RWSE", "HKdiagSE", "ElstaticSE"):
+        p = cfg[f"posenc_{name}"]
+        return node_encoder_dict[name](
+            kernel_type=name, dim_pe=p.dim_pe, model=p.model,
+            layers=p.layers, raw_norm_type=p.raw_norm_type)
+    if name == "LapPE":
+        p = cfg.posenc_LapPE
+        return node_encoder_dict[name](
+            dim_pe=p.dim_pe, model=p.model if p.model != "none" else "DeepSet",
+            layers=p.layers, n_heads=p.n_heads, post_layers=p.post_layers,
+            max_freqs=p.eigen.max_freqs, raw_norm_type=p.raw_norm_type)
+    if name == "SignNet":
+        p = cfg.posenc_SignNet
+        return node_encoder_dict[name](
+            dim_pe=p.dim_pe, phi_hidden_dim=p.phi_hidden_dim,
+            phi_out_dim=p.phi_out_dim, layers=p.layers,
+            post_layers=max(1, p.post_layers), max_freqs=p.eigen.max_freqs)
+    if name == "EquivStableLapPE":
+        return node_encoder_dict[name](dim_pe=cfg.posenc_EquivStableLapPE.dim_pe)
+    if name == "GraphormerBias":
+        p = cfg.posenc_GraphormerBias
+        return node_encoder_dict[name](
+            num_heads=cfg.graphormer.num_heads, num_spatial_types=p.num_spatial_types,
+            num_in_degrees=p.num_in_degrees, num_out_degrees=p.num_out_degrees,
+            node_degrees_only=p.node_degrees_only)
+    raise ValueError(f"unknown node encoder {name!r}")
+
+
+class FeatureEncoder(nn.Module):
+    """Compose dataset + PE encoders (reference gps_model.py:12-51 +
+    composed_encoders.py)."""
+
+    cfg: Any
+    dim_h: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool):
+        cfg = self.cfg
+        x = None
+        e = None
+        if cfg.dataset.node_encoder:
+            parts = cfg.dataset.node_encoder_name.split("+")
+            ds_name = parts[0] if parts[0] not in PE_ENCODERS else None
+            pe_names = [p for p in parts if p in PE_ENCODERS]
+            dim_pe_total = 0
+            for p in pe_names:
+                if p == "EquivStableLapPE":
+                    continue  # stored as side-channel, not concatenated
+                if p == "GraphormerBias":
+                    continue  # adds in-place, not concatenated
+                dim_pe_total += cfg[f"posenc_{p}"].dim_pe
+            if ds_name is not None:
+                enc = _make_node_encoder(ds_name, self.dim_h - dim_pe_total, cfg)
+                x = enc(batch, None, train)
+                if cfg.dataset.node_encoder_bn:
+                    x = MaskedBatchNorm()(x, batch.node_mask, train)
+            for p in pe_names:
+                x = _make_node_encoder(p, 0, cfg)(batch, x, train)
+        else:
+            x = batch.node_feat.astype(jnp.float32)
+        if cfg.dataset.edge_encoder and batch.edge_feat is not None:
+            name = cfg.dataset.edge_encoder_name
+            if name == "TypeDictEdge":
+                e = edge_encoder_dict[name](
+                    dim_emb=self.dim_h,
+                    num_types=cfg.dataset.edge_encoder_num_types)(batch, train)
+            else:
+                e = edge_encoder_dict[name](dim_emb=self.dim_h)(batch, train)
+            if cfg.dataset.edge_encoder_bn:
+                e = MaskedBatchNorm()(e, batch.edge_mask, train)
+        elif batch.edge_feat is None and cfg.dataset.edge_encoder:
+            e = edge_encoder_dict["DummyEdge"](dim_emb=self.dim_h)(batch, train)
+        x = jnp.where(batch.node_mask[:, None], x, 0.0)
+        return x, e
+
+
+class GNNPreMP(nn.Module):
+    """Pre-message-passing stack (GraphGym GNNPreMP capability,
+    reference gps_model.py:67-70): Linear+BN+act layers lifting to dim_inner."""
+
+    dim: int
+    num_layers: int
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        a = get_act(self.act)
+        for _ in range(self.num_layers):
+            x = nn.Dense(self.dim)(x)
+            x = MaskedBatchNorm()(x, batch.node_mask, train)
+            x = a(x)
+        return x
+
+
+def _make_head(cfg: CfgNode, dim_in: int, dim_out: int):
+    name = cfg.gnn.head
+    common = dict(dim_in=dim_in, dim_out=dim_out)
+    if name == "san_graph":
+        return head_dict[name](pooling=cfg.model.graph_pooling, **common)
+    if name in ("default", "graph"):
+        return head_dict["default"](pooling=cfg.model.graph_pooling,
+                                    layers=max(1, cfg.gnn.layers_post_mp), **common)
+    if name == "inductive_node":
+        return head_dict[name](layers=max(1, cfg.gnn.layers_post_mp), **common)
+    if name == "inductive_edge":
+        return head_dict[name](decoding=cfg.model.edge_decoding, **common)
+    if name == "ogb_code_graph":
+        return head_dict[name](dim_in=dim_in, pooling=cfg.model.graph_pooling)
+    if name in ("graphormer_graph", "infer_links"):
+        return head_dict[name](**common)
+    return head_dict[name](**common)
+
+
+@register_network("GPSModel")
+class GPSModel(nn.Module):
+    """FeatureEncoder → [GNNPreMP] → L × GPSLayer → head
+    (reference gps_model.py:54-108)."""
+
+    cfg: Any
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool,
+                 step: Optional[jax.Array] = None):
+        cfg = self.cfg
+        d = cfg.gt.dim_hidden
+        x, e = FeatureEncoder(cfg=cfg, dim_h=d)(batch, train)
+        if cfg.gnn.layers_pre_mp > 0:
+            x = GNNPreMP(dim=d, num_layers=cfg.gnn.layers_pre_mp,
+                         act=cfg.gnn.act)(batch, x, train)
+        local_type, _, global_type = cfg.gt.layer_type.partition("+")
+        if not global_type:
+            local_type, global_type = "None", local_type
+        es_pe = cfg.posenc_EquivStableLapPE.enable
+        layer_common = dict(
+            dim_h=d, local_gnn_type=local_type, global_model_type=global_type,
+            num_heads=cfg.gt.n_heads, act=cfg.gnn.act,
+            pna_degrees=tuple(cfg.gt.pna_degrees), equivstable_pe=es_pe,
+            dropout=cfg.gt.dropout, attn_dropout=cfg.gt.attn_dropout,
+            layer_norm=cfg.gt.layer_norm, batch_norm=cfg.gt.batch_norm,
+            bigbird_block_size=cfg.gt.bigbird.block_size,
+            bigbird_num_random_blocks=cfg.gt.bigbird.num_random_blocks)
+        layer_cls = (nn.remat(GPSLayer, static_argnums=(3,))
+                     if cfg.parallel.remat else GPSLayer)
+        for li in range(cfg.gt.layers):
+            x, e = layer_cls(layer_index=li, **layer_common)(batch, x, e, train, step)
+        return _make_head(cfg, d, self.dim_out)(batch, x, train)
+
+
+@register_network("SANTransformer")
+class SANTransformer(nn.Module):
+    """Stack of SAN layers (reference san_transformer.py:11-56)."""
+
+    cfg: Any
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool, step=None):
+        cfg = self.cfg
+        d = cfg.gt.dim_hidden
+        x, e = FeatureEncoder(cfg=cfg, dim_h=d)(batch, train)
+        if cfg.gnn.layers_pre_mp > 0:
+            x = GNNPreMP(dim=d, num_layers=cfg.gnn.layers_pre_mp,
+                         act=cfg.gnn.act)(batch, x, train)
+        gamma_learnable = cfg.gt.layer_type == "SAN2"
+        for _ in range(cfg.gt.layers):
+            x, e = SANLayer(dim_h=d, num_heads=cfg.gt.n_heads, gamma=cfg.gt.gamma,
+                            full_graph=cfg.gt.full_graph,
+                            gamma_learnable=gamma_learnable,
+                            dropout=cfg.gt.dropout, layer_norm=cfg.gt.layer_norm,
+                            batch_norm=cfg.gt.batch_norm,
+                            residual=cfg.gt.residual)(batch, x, e, train)
+        return _make_head(cfg, d, self.dim_out)(batch, x, train)
+
+
+@register_network("Graphormer")
+class GraphormerNet(nn.Module):
+    """Stack of Graphormer layers (reference graphormer.py:10-52). Graph token
+    handling: node slot 0 per graph acts as [CLS] when configured."""
+
+    cfg: Any
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool, step=None):
+        cfg = self.cfg
+        d = cfg.graphormer.embed_dim
+        x, e = FeatureEncoder(cfg=cfg, dim_h=d)(batch, train)
+        x = nn.Dropout(cfg.graphormer.input_dropout,
+                       deterministic=not train)(x)
+        for _ in range(cfg.graphormer.num_layers):
+            x, e = GraphormerLayer(dim_h=d, num_heads=cfg.graphormer.num_heads,
+                                   dropout=cfg.graphormer.dropout,
+                                   attn_dropout=cfg.graphormer.attention_dropout,
+                                   mlp_dropout=cfg.graphormer.mlp_dropout)(
+                                       batch, x, e, train)
+        return _make_head(cfg, d, self.dim_out)(batch, x, train)
+
+
+@register_network("Performer")
+class PerformerNet(nn.Module):
+    """Standalone Performer over dense-batched nodes, edge features ignored
+    (reference performer.py:10-43)."""
+
+    cfg: Any
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool, step=None):
+        cfg = self.cfg
+        d = cfg.gt.dim_hidden
+        x, _ = FeatureEncoder(cfg=cfg, dim_h=d)(batch, train)
+        for li in range(cfg.gt.layers):
+            x, _ = GPSLayer(dim_h=d, local_gnn_type="None",
+                            global_model_type="Performer",
+                            num_heads=cfg.gt.n_heads, layer_index=li,
+                            dropout=cfg.gt.dropout,
+                            attn_dropout=cfg.gt.attn_dropout,
+                            layer_norm=True, batch_norm=False)(
+                                batch, x, None, train, step)
+        return _make_head(cfg, d, self.dim_out)(batch, x, train)
+
+
+@register_network("BigBird")
+class BigBirdNet(nn.Module):
+    """Standalone BigBird block-sparse transformer (reference big_bird.py:10-46)."""
+
+    cfg: Any
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool, step=None):
+        cfg = self.cfg
+        d = cfg.gt.dim_hidden
+        x, _ = FeatureEncoder(cfg=cfg, dim_h=d)(batch, train)
+        for li in range(cfg.gt.layers):
+            x, _ = GPSLayer(dim_h=d, local_gnn_type="None",
+                            global_model_type="BigBird",
+                            num_heads=cfg.gt.n_heads, layer_index=li,
+                            dropout=cfg.gt.dropout,
+                            bigbird_block_size=cfg.gt.bigbird.block_size,
+                            bigbird_num_random_blocks=cfg.gt.bigbird.num_random_blocks,
+                            layer_norm=True, batch_norm=False)(
+                                batch, x, None, train, step)
+        return _make_head(cfg, d, self.dim_out)(batch, x, train)
+
+
+@register_network("custom_gnn")
+class CustomGNN(nn.Module):
+    """Plain stack of GatedGCN/GINE conv layers (reference custom_gnn.py:12-55)."""
+
+    cfg: Any
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool, step=None):
+        cfg = self.cfg
+        d = cfg.gnn.dim_inner
+        x, e = FeatureEncoder(cfg=cfg, dim_h=d)(batch, train)
+        if cfg.gnn.layers_pre_mp > 0:
+            x = GNNPreMP(dim=d, num_layers=cfg.gnn.layers_pre_mp,
+                         act=cfg.gnn.act)(batch, x, train)
+        lt = cfg.gnn.layer_type
+        for _ in range(cfg.gnn.layers_mp):
+            if lt in ("gatedgcnconv", "custom_gatedgcn"):
+                x, e = GatedGCNLayer(dim=d, dropout=cfg.gnn.dropout,
+                                     residual=cfg.gnn.residual, act=cfg.gnn.act,
+                                     batch_norm=cfg.gnn.batchnorm)(batch, x, e, train)
+            else:  # gineconv and GraphGym-style conv stacks
+                x, e = GINELayer(dim=d, dropout=cfg.gnn.dropout,
+                                 residual=cfg.gnn.residual, act=cfg.gnn.act,
+                                 batch_norm=cfg.gnn.batchnorm,
+                                 wrap_norm_act=True)(batch, x, e, train)
+        return _make_head(cfg, d, self.dim_out)(batch, x, train)
+
+
+def build_model(cfg, dim_out: int):
+    """Instantiate the network named by cfg.model.type (reference main.py:144)."""
+    from ..config.config import FrozenCfg
+    net_cls = network_dict[cfg.model.type]
+    if not isinstance(cfg, FrozenCfg):
+        cfg = FrozenCfg(cfg)
+    return net_cls(cfg=cfg, dim_out=dim_out)

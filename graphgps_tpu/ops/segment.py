@@ -1,0 +1,97 @@
+"""Segment (scatter/gather) ops — the TPU replacement for torch_scatter.
+
+The reference's hot aggregation paths bottom out in CUDA ``torch_scatter.scatter``
+(/root/reference/graphgps/layer/gatedgcn_layer.py:118-123, san_layer.py:75-87).
+Here the XLA path: ``jax.ops.segment_*`` lowers to sorted-segment reductions that
+XLA fuses well on TPU; edges are pre-sorted by receiver at collation time
+(graphgps_tpu/data/batching.py) so the scatter is monotonic. A Pallas CSR kernel
+(ops/pallas/segment_kernels.py) is used for the largest shapes.
+
+Conventions:
+- ``num_segments`` is always static (B*Nmax node slots).
+- Padded edges MUST be masked by the caller or via the ``mask`` argument here;
+  with ``mask`` given, masked lanes contribute the reduction identity.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _apply_mask(data: jax.Array, mask: Optional[jax.Array], fill) -> jax.Array:
+    if mask is None:
+        return data
+    m = mask.reshape(mask.shape + (1,) * (data.ndim - mask.ndim))
+    return jnp.where(m, data, fill)
+
+
+def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int,
+                mask: Optional[jax.Array] = None) -> jax.Array:
+    data = _apply_mask(data, mask, 0)
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=True)
+
+
+def segment_mean(data: jax.Array, segment_ids: jax.Array, num_segments: int,
+                 mask: Optional[jax.Array] = None, eps: float = 1e-6) -> jax.Array:
+    s = segment_sum(data, segment_ids, num_segments, mask)
+    ones = jnp.ones(data.shape[:1], dtype=data.dtype)
+    cnt = segment_sum(ones, segment_ids, num_segments, mask)
+    return s / jnp.maximum(cnt, eps)[(...,) + (None,) * (s.ndim - 1)]
+
+
+def segment_max(data: jax.Array, segment_ids: jax.Array, num_segments: int,
+                mask: Optional[jax.Array] = None) -> jax.Array:
+    data = _apply_mask(data, mask, -jnp.inf if jnp.issubdtype(data.dtype, jnp.floating)
+                       else jnp.iinfo(data.dtype).min)
+    out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments,
+                              indices_are_sorted=True)
+    # Empty segments produce -inf; zero them (matches torch_scatter fill).
+    return jnp.where(jnp.isneginf(out) if jnp.issubdtype(out.dtype, jnp.floating)
+                     else out == jnp.iinfo(out.dtype).min, 0, out)
+
+
+def segment_min(data: jax.Array, segment_ids: jax.Array, num_segments: int,
+                mask: Optional[jax.Array] = None) -> jax.Array:
+    data = _apply_mask(data, mask, jnp.inf if jnp.issubdtype(data.dtype, jnp.floating)
+                       else jnp.iinfo(data.dtype).max)
+    out = jax.ops.segment_min(data, segment_ids, num_segments=num_segments,
+                              indices_are_sorted=True)
+    return jnp.where(jnp.isposinf(out) if jnp.issubdtype(out.dtype, jnp.floating)
+                     else out == jnp.iinfo(out.dtype).max, 0, out)
+
+
+def segment_count(segment_ids: jax.Array, num_segments: int,
+                  mask: Optional[jax.Array] = None,
+                  dtype=jnp.float32) -> jax.Array:
+    ones = jnp.ones(segment_ids.shape, dtype=dtype)
+    return segment_sum(ones, segment_ids, num_segments, mask)
+
+
+def segment_softmax(scores: jax.Array, segment_ids: jax.Array, num_segments: int,
+                    mask: Optional[jax.Array] = None) -> jax.Array:
+    """Numerically-stable scatter softmax over segments.
+
+    Capability parity with the reference's ``pyg_softmax``
+    (/root/reference/graphgps/layer/san2_layer.py:11-33); masked lanes get 0.
+    """
+    smax = segment_max(scores, segment_ids, num_segments, mask)
+    shifted = scores - smax[segment_ids]
+    ex = jnp.exp(shifted)
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (ex.ndim - mask.ndim))
+        ex = jnp.where(m, ex, 0.0)
+    denom = segment_sum(ex, segment_ids, num_segments)
+    return ex / (denom[segment_ids] + 1e-16)
+
+
+def gather(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather x[idx] — the CSR neighbor-feature fetch."""
+    return jnp.take(x, idx, axis=0)
+
+
+def in_degree(receivers: jax.Array, num_segments: int,
+              mask: Optional[jax.Array] = None) -> jax.Array:
+    return segment_count(receivers, num_segments, mask)
