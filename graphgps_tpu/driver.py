@@ -1,0 +1,168 @@
+"""Experiment driver: config → loaders → model → train mode, looped over seeds.
+
+Capability parity with /root/reference/main.py:51-176 (out-dir layout, multi-seed
+& multi-split run loop, params logging, train-mode dispatch, aggregation) built
+on the TPU-native stack.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .config.config import (CfgNode, dump_cfg, load_cfg, new_cfg,
+                            update_from_list)
+from .data.batching import BatchLoader, choose_caps, round_up
+from .data.datasets.base import DatasetSplits, load_dataset
+from .logging_utils import agg_runs
+from .models.networks import build_model
+from .optim.optimizers import make_tx
+from .registry import train_dict
+from .train.loop import init_state, param_count
+
+log = logging.getLogger("graphgps_tpu")
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="graphgps_tpu experiment driver")
+    p.add_argument("--cfg", dest="cfg_file", type=str, required=True)
+    p.add_argument("--repeat", type=int, default=1)
+    p.add_argument("--mark_done", action="store_true")
+    p.add_argument("opts", default=None, nargs=argparse.REMAINDER,
+                   help="dotted config overrides: key value [key value ...]")
+    return p.parse_args(argv)
+
+
+def set_out_dir(cfg: CfgNode, cfg_file: str) -> None:
+    run_name = os.path.splitext(os.path.basename(cfg_file))[0]
+    if cfg.name_tag:
+        run_name += f"-{cfg.name_tag}"
+    cfg.out_dir = os.path.join(cfg.out_dir, run_name)
+
+
+def run_loop_settings(cfg: CfgNode, repeat: int) -> Tuple[List[int], List[int], List[int]]:
+    """(run_ids, seeds, split_indices) — multi-seed XOR multi-split
+    (reference main.py:81-113)."""
+    if len(cfg.run_multiple_splits) == 0:
+        num_iter = repeat
+        seeds = [cfg.seed + i for i in range(num_iter)]
+        split_indices = [cfg.dataset.split_index] * num_iter
+        run_ids = seeds
+    else:
+        if repeat != 1:
+            raise NotImplementedError(
+                "run_multiple_splits and repeat>1 are mutually exclusive")
+        split_indices = list(cfg.run_multiple_splits)
+        seeds = [cfg.seed] * len(split_indices)
+        run_ids = split_indices
+    return run_ids, seeds, split_indices
+
+
+def infer_dims(cfg: CfgNode, splits: DatasetSplits) -> int:
+    """Set cfg.share dims from the data (GraphGym create_model capability)."""
+    g0 = splits.train[0]
+    cfg.share.dim_in = int(g0.node_feat.shape[-1])
+    tt = cfg.dataset.task_type
+    ys = [g.y for g in splits.train[:256] if g.y is not None]
+    if not ys:
+        return max(1, cfg.share.dim_out)
+    y0 = np.atleast_1d(ys[0])
+    if tt == "regression":
+        dim_out = int(y0.reshape(-1).shape[0]) if cfg.dataset.task == "graph" \
+            else (int(y0.shape[-1]) if y0.ndim > 1 else 1)
+    elif tt == "classification_multilabel":
+        dim_out = int(y0.reshape(-1).shape[0])
+    elif tt == "subtoken_prediction":
+        dim_out = 5002
+    else:
+        mx = max(int(np.nanmax(np.atleast_1d(y).astype(np.float64))) for y in ys)
+        dim_out = mx + 1
+        if dim_out == 2 and tt == "classification_binary":
+            dim_out = 1
+    cfg.share.dim_out = max(1, dim_out)
+    return cfg.share.dim_out
+
+
+def create_loaders(cfg: CfgNode, splits: DatasetSplits,
+                   data_parallel: int = 1) -> Dict[str, BatchLoader]:
+    """Per-split fixed-shape loaders; one (max_nodes, max_edges) cap across splits
+    so every split compiles once."""
+    y_graph_level = cfg.dataset.task == "graph"
+    n_cap, e_cap = choose_caps(splits.all_graphs)
+    max_nodes = cfg.dataset.max_nodes or n_cap
+    bs = cfg.train.batch_size
+    if data_parallel > 1:
+        bs = round_up(bs, data_parallel)
+    max_edges = cfg.dataset.max_edges or round_up(bs * e_cap, 128)
+    out = {}
+    for name, graphs in (("train", splits.train), ("val", splits.val),
+                         ("test", splits.test)):
+        if not graphs:
+            continue
+        out[name] = BatchLoader(
+            graphs, batch_size=bs, max_nodes=max_nodes, max_edges=max_edges,
+            shuffle=(name == "train"), seed=cfg.seed,
+            y_graph_level=y_graph_level)
+    return out
+
+
+def run_single(cfg: CfgNode, run_dir: str, mesh=None) -> Dict:
+    """One (seed, split) training run."""
+    os.makedirs(run_dir, exist_ok=True)
+    splits = load_dataset(cfg)
+    dim_out = infer_dims(cfg, splits)
+    ndev = mesh.shape["data"] if mesh is not None else 1
+    loaders = create_loaders(cfg, splits, data_parallel=ndev)
+    model = build_model(cfg, dim_out)
+    tx = make_tx(cfg)
+    example = next(iter(loaders["train"])).to_graph_batch()
+    state = init_state(cfg, model, example, cfg.seed, tx)
+    if mesh is not None:
+        from .parallel.mesh import shard_params
+        state = shard_params(state, mesh)
+    n_params = param_count(state.params)
+    cfg.share["params"] = n_params
+    log.info("model %s params %d", cfg.model.type, n_params)
+    mode = cfg.train.mode
+    if mode not in train_dict:
+        raise ValueError(f"unknown train mode {mode!r}; have {sorted(train_dict)}")
+    return train_dict[mode](cfg, loaders, model, state, run_dir, mesh)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    cfg = new_cfg()
+    load_cfg(cfg, args.cfg_file)
+    if args.opts:
+        update_from_list(cfg, args.opts)
+    set_out_dir(cfg, args.cfg_file)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    dump_cfg(cfg, os.path.join(cfg.out_dir, cfg.cfg_dest))
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+
+    mesh = None
+    if cfg.parallel.data_axis > 1 or cfg.parallel.mesh_shape:
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh(cfg)
+        log.info("mesh: %s", mesh)
+
+    run_ids, seeds, split_indices = run_loop_settings(cfg, args.repeat)
+    for run_id, seed, split_index in zip(run_ids, seeds, split_indices):
+        cfg.seed = seed
+        cfg.run_id = run_id
+        cfg.dataset.split_index = split_index
+        np.random.seed(seed)
+        run_dir = os.path.join(cfg.out_dir, str(run_id))
+        log.info("=== run %s (seed %d, split %d) ===", run_id, seed, split_index)
+        run_single(cfg, run_dir, mesh)
+    try:
+        agg_runs(cfg.out_dir, cfg.metric_best, cfg.metric_agg)
+    except Exception as e:  # tolerate partial runs (reference main.py:169-172)
+        log.warning("aggregation failed: %s", e)
+    if args.mark_done:
+        os.rename(args.cfg_file, f"{args.cfg_file}_done")

@@ -1,0 +1,77 @@
+"""Device mesh construction + batch/param sharding for SPMD training.
+
+New capability vs the reference (which is single-device; SURVEY.md §2.10): data
+parallelism via ``jax.sharding.NamedSharding`` over a ``('data', 'model')`` mesh.
+Graph batches shard on their leading axis along ``data``; because collation packs
+each graph's nodes into a contiguous slot range (data/graph.py) and batch_size is
+chosen divisible by the data-axis size, node/edge/graph shards align with graph
+boundaries and XLA keeps gathers local, inserting only the gradient all-reduce.
+
+Multi-host entry: ``jax.distributed.initialize`` is the process-group bootstrap
+(the reference has no equivalent — Slurm-level fan-out only,
+/root/reference/run/run_experiments.sh:27-31).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(cfg=None, devices=None) -> Mesh:
+    """Build a (data, model) mesh from cfg.parallel or all visible devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    data_ax = model_ax = 0
+    if cfg is not None:
+        shape = list(cfg.parallel.mesh_shape or [])
+        if len(shape) == 2:
+            data_ax, model_ax = shape
+        else:
+            data_ax = cfg.parallel.data_axis or 0
+            model_ax = cfg.parallel.model_axis or 1
+    if data_ax <= 0:
+        model_ax = max(1, model_ax)
+        data_ax = n // model_ax
+    arr = np.asarray(devices[: data_ax * model_ax]).reshape(data_ax, model_ax)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> "jax.tree_util.PyTreeDef":
+    """Shard every GraphBatch array on its leading axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a GraphBatch with leading-axis data sharding.
+
+    Dict-valued fields (pe/extras) and None leaves are handled; scalar/0-d leaves
+    are replicated.
+    """
+    data = NamedSharding(mesh, P("data"))
+    rep = replicated(mesh)
+
+    def put(x):
+        if x is None:
+            return None
+        if getattr(x, "ndim", 0) == 0:
+            return jax.device_put(x, rep)
+        return jax.device_put(x, data)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def shard_params(tree, mesh: Mesh):
+    """Replicate parameters/optimizer state across the mesh (pure DP).
+
+    Tensor-parallel param sharding (model axis) is layered on top by
+    parallel/tensor.py for wide models.
+    """
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)

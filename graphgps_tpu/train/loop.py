@@ -1,0 +1,360 @@
+"""Training / inference loops.
+
+Capability parity with /root/reference/graphgps/train/custom_train.py:16-260:
+the 'custom' epoch loop (train_epoch with grad accumulation + clipping, periodic
+eval on val+test, per-epoch scheduler step, periodic / best-on-val checkpointing,
+best-so-far reporting) and 'inference-only'. TPU-native differences:
+
+- ONE jitted train step (forward+backward+apply, donated state) per static batch
+  shape; batches are fixed-shape so each split compiles exactly once;
+- gradient accumulation folds k fixed-shape micro-batches with a jitted
+  grad-accumulate step + a jitted apply step (reference custom_train.py:33-39);
+- the LR schedule is host-computed per epoch and injected into the optax
+  hyperparams (reference steps torch schedulers per epoch, custom_train.py:135-138);
+- checkpoints are orbax PyTree saves of {params, batch_stats, opt_state, epoch}.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import shutil
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import FrozenDict
+
+from ..config.config import resolve_metric_best
+from ..data.batching import BatchLoader
+from ..data.graph import GraphBatch
+from ..logging_utils import SplitLogger, create_loggers
+from ..models.losses import compute_loss
+from ..models.networks import build_model
+from ..optim.optimizers import (ReduceLROnPlateau, build_schedule, make_tx,
+                                set_lr)
+from ..registry import register_train
+
+log = logging.getLogger("graphgps_tpu")
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: Any = 0  # jnp scalar — data field so incrementing never recompiles
+
+
+jax.tree_util.register_dataclass(
+    TrainState, data_fields=["params", "batch_stats", "opt_state", "step"],
+    meta_fields=[])
+
+
+def _loss_mask(cfg, batch: GraphBatch, pred: jax.Array) -> jax.Array:
+    """Pick the padding mask matching the prediction granularity."""
+    if pred.shape[0] == batch.num_graphs:
+        return batch.graph_mask
+    if pred.shape[0] == batch.num_node_slots:
+        return batch.node_mask
+    # edge-level heads carry their own validity in extras
+    m = batch.extras.get("edge_label_mask")
+    if m is not None:
+        return m.reshape(-1)
+    return jnp.ones((pred.shape[0],), dtype=bool)
+
+
+def make_steps(cfg, model, tx):
+    """Build jitted (train_step, grad_step, apply_step, eval_step)."""
+
+    def forward_loss(params, batch_stats, batch, rng, step):
+        variables = {"params": params, "batch_stats": batch_stats}
+        (pred, true), mut = model.apply(
+            variables, batch, True, step, rngs={"dropout": rng},
+            mutable=["batch_stats"])
+        mask = _loss_mask(cfg, batch, pred)
+        loss = compute_loss(cfg, pred, true, mask)
+        return loss, (mut.get("batch_stats", FrozenDict()), pred, true)
+
+    def train_step(state: TrainState, batch: GraphBatch, rng):
+        (loss, (bs, pred, true)), grads = jax.value_and_grad(
+            forward_loss, has_aux=True)(state.params, state.batch_stats, batch,
+                                        rng, jnp.asarray(state.step))
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, batch_stats=bs,
+                               opt_state=opt_state, step=state.step + 1)
+        return new_state, loss, pred, true
+
+    def grad_step(state: TrainState, batch: GraphBatch, rng, grad_accum):
+        (loss, (bs, pred, true)), grads = jax.value_and_grad(
+            forward_loss, has_aux=True)(state.params, state.batch_stats, batch,
+                                        rng, jnp.asarray(state.step))
+        grad_accum = jax.tree_util.tree_map(jnp.add, grad_accum, grads)
+        return grad_accum, bs, loss, pred, true
+
+    def apply_step(state: TrainState, grad_accum, bs, k: int):
+        grads = jax.tree_util.tree_map(lambda g: g / k, grad_accum)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, batch_stats=bs, opt_state=opt_state,
+                          step=state.step + 1)
+
+    def eval_step(state: TrainState, batch: GraphBatch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        pred, true = model.apply(variables, batch, False, mutable=False)
+        mask = _loss_mask(cfg, batch, pred)
+        loss = compute_loss(cfg, pred, true, mask)
+        return loss, pred, true
+
+    donate = (0,) if cfg.parallel.donate else ()
+    return (jax.jit(train_step, donate_argnums=donate),
+            jax.jit(grad_step, donate_argnums=(3,) if cfg.parallel.donate else ()),
+            jax.jit(apply_step, static_argnums=(3,),
+                    donate_argnums=donate),
+            jax.jit(eval_step))
+
+
+def init_state(cfg, model, example_batch: GraphBatch, seed: int,
+               tx) -> TrainState:
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init({"params": rng, "dropout": rng}, example_batch, True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    opt_state = tx.init(params)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+def param_count(params) -> int:
+    return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)))
+
+
+def _to_host(pred, true, batch: GraphBatch, cfg):
+    """Pull padded predictions to host and strip padding."""
+    pred = np.asarray(jax.device_get(pred))
+    true = np.asarray(jax.device_get(true)) if true is not None else None
+    if pred.shape[0] == batch.num_graphs:
+        m = np.asarray(jax.device_get(batch.graph_mask))
+    elif pred.shape[0] == batch.num_graphs * batch.max_nodes:
+        m = np.asarray(jax.device_get(batch.node_mask))
+    else:
+        m = np.ones((pred.shape[0],), dtype=bool)
+    return pred[m], (true[m] if true is not None else None)
+
+
+# ---------------------------------------------------------------------------------
+# Checkpointing (reference save_ckpt/load_ckpt/clean_ckpt capability +
+# SURVEY.md §5 checkpoint/resume — orbax async-capable PyTree checkpoints)
+
+def ckpt_dir(run_dir: str) -> str:
+    return os.path.join(run_dir, "ckpt")
+
+
+def save_ckpt(run_dir: str, state: TrainState, epoch: int,
+              scheduler_state: Optional[dict] = None) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir(run_dir), str(epoch)))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, {
+            "params": jax.device_get(state.params),
+            "batch_stats": dict(jax.device_get(state.batch_stats)),
+            "opt_state": jax.device_get(state.opt_state),
+            "epoch": epoch,
+            "scheduler": scheduler_state or {},
+        })
+
+
+def load_ckpt(run_dir: str, state: TrainState,
+              epoch: int = -1) -> Tuple[TrainState, int, dict]:
+    """Restore latest (or given) epoch; returns (state, next_epoch, sched_state)."""
+    import orbax.checkpoint as ocp
+
+    d = ckpt_dir(run_dir)
+    if not os.path.isdir(d):
+        return state, 0, {}
+    epochs = sorted(int(x) for x in os.listdir(d) if x.isdigit())
+    if not epochs:
+        return state, 0, {}
+    target = epoch if epoch >= 0 and epoch in epochs else epochs[-1]
+    with ocp.PyTreeCheckpointer() as ckptr:
+        template = {
+            "params": jax.device_get(state.params),
+            "batch_stats": dict(jax.device_get(state.batch_stats)),
+            "opt_state": jax.device_get(state.opt_state),
+            "epoch": 0, "scheduler": {},
+        }
+        restored = ckptr.restore(os.path.abspath(os.path.join(d, str(target))),
+                                 item=template)
+    new_state = TrainState(params=restored["params"],
+                           batch_stats=restored["batch_stats"],
+                           opt_state=restored["opt_state"],
+                           step=state.step)
+    return new_state, restored["epoch"] + 1, restored.get("scheduler", {})
+
+
+def clean_ckpt(run_dir: str, keep_epoch: int) -> None:
+    d = ckpt_dir(run_dir)
+    if not os.path.isdir(d):
+        return
+    for x in os.listdir(d):
+        if x.isdigit() and int(x) != keep_epoch:
+            shutil.rmtree(os.path.join(d, x), ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------------
+# Epoch loops
+
+def is_eval_epoch(cfg, epoch: int) -> bool:
+    return (epoch + 1) % max(1, cfg.train.eval_period) == 0 or \
+        epoch == cfg.optim.max_epoch - 1 or epoch == 0
+
+
+def is_ckpt_epoch(cfg, epoch: int) -> bool:
+    return (epoch + 1) % max(1, cfg.train.ckpt_period) == 0 or \
+        epoch == cfg.optim.max_epoch - 1
+
+
+def train_epoch(cfg, state, loaders_train: BatchLoader, logger: SplitLogger,
+                train_step, grad_step, apply_step, lr: float, rng, mesh=None):
+    accum = max(1, cfg.optim.batch_accumulation)
+    zero_grads = None
+    pending = 0
+    bs_latest = state.batch_stats
+    for it, hb in enumerate(loaders_train):
+        t0 = time.time()
+        batch = hb.to_graph_batch()
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+            batch = shard_batch(batch, mesh)
+        rng, sub = jax.random.split(rng)
+        real = int(np.asarray(hb.arrays["graph_mask"]).sum())
+        if accum == 1:
+            state, loss, pred, true = train_step(state, batch, sub)
+        else:
+            if pending == 0:
+                zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            zero_grads, bs_latest, loss, pred, true = grad_step(
+                state, batch, sub, zero_grads)
+            pending += 1
+            if pending == accum:
+                state = apply_step(state, zero_grads, bs_latest, accum)
+                pending = 0
+        p, t = _to_host(pred, true, batch, cfg)
+        logger.update_stats(p, t, float(loss), lr, time.time() - t0, real)
+    if accum > 1 and pending:
+        state = apply_step(state, zero_grads, bs_latest, pending)
+    return state, rng
+
+
+def eval_epoch(cfg, state, loader: BatchLoader, logger: SplitLogger, eval_step,
+               mesh=None):
+    for hb in loader:
+        t0 = time.time()
+        batch = hb.to_graph_batch()
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch
+            batch = shard_batch(batch, mesh)
+        loss, pred, true = eval_step(state, batch)
+        real = int(np.asarray(hb.arrays["graph_mask"]).sum())
+        p, t = _to_host(pred, true, batch, cfg)
+        logger.update_stats(p, t, float(loss), 0.0, time.time() - t0, real)
+
+
+# ---------------------------------------------------------------------------------
+# Train modes (registered like reference train_dict, main.py:166-167)
+
+def _metric_cmp(metric_agg: str):
+    return (lambda a, b: a < b) if metric_agg == "argmin" else (lambda a, b: a > b)
+
+
+@register_train("custom")
+def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
+                 run_dir: str, mesh=None) -> Dict[str, List[Dict]]:
+    """The main epoch loop (reference custom_train.py:80-212)."""
+    tx = make_tx(cfg)
+    train_step, grad_step, apply_step, eval_step = make_steps(cfg, model, tx)
+    schedule = build_schedule(cfg)
+    plateau = isinstance(schedule, ReduceLROnPlateau)
+    metric = resolve_metric_best(cfg)
+    agg = cfg.metric_agg
+    if cfg.metric_best == "auto" and metric in ("mae", "mse", "rmse", "loss"):
+        agg = "argmin"
+    better = _metric_cmp(agg)
+
+    loggers = {s: SplitLogger(s, run_dir, cfg.dataset.task_type, cfg.model.thresh)
+               for s in loaders}
+    start_epoch = 0
+    if cfg.train.auto_resume:
+        state, start_epoch, sched_state = load_ckpt(run_dir, state,
+                                                    cfg.train.epoch_resume)
+        if plateau and sched_state:
+            schedule.load_state_dict(sched_state)
+
+    rng = jax.random.PRNGKey(cfg.seed + 1234)
+    best_val = None
+    best_epoch = -1
+    history: Dict[str, List[Dict]] = {s: [] for s in loaders}
+    full_epoch_times = []
+    for epoch in range(start_epoch, cfg.optim.max_epoch):
+        lr = schedule.lr if plateau else schedule(epoch)
+        set_lr(state.opt_state, lr)
+        t0 = time.time()
+        state, rng = train_epoch(cfg, state, loaders["train"], loggers["train"],
+                                 train_step, grad_step, apply_step, lr, rng, mesh)
+        full_epoch_times.append(time.time() - t0)
+        stats = loggers["train"].write_epoch(epoch)
+        history["train"].append(stats)
+
+        if is_eval_epoch(cfg, epoch):
+            for split in ("val", "test"):
+                if split in loaders:
+                    eval_epoch(cfg, state, loaders[split], loggers[split],
+                               eval_step, mesh)
+                    s = loggers[split].write_epoch(epoch)
+                    history[split].append(s)
+            val_hist = history.get("val") or history["train"]
+            cur = val_hist[-1].get(metric, val_hist[-1]["loss"])
+            if plateau:
+                schedule.update(cur)
+            if best_val is None or better(cur, best_val):
+                best_val = cur
+                best_epoch = epoch
+                if cfg.train.enable_ckpt and cfg.train.ckpt_best:
+                    save_ckpt(run_dir, state, epoch,
+                              schedule.state_dict() if plateau else None)
+                    if cfg.train.ckpt_clean:
+                        clean_ckpt(run_dir, epoch)
+            log.info("epoch %d lr %.2e %s %s=%.5f (best %.5f @ %d) "
+                     "epoch_time %.2fs", epoch, lr,
+                     "val" if "val" in loaders else "train", metric, cur,
+                     best_val, best_epoch, full_epoch_times[-1])
+        if cfg.train.enable_ckpt and not cfg.train.ckpt_best \
+                and is_ckpt_epoch(cfg, epoch):
+            save_ckpt(run_dir, state, epoch,
+                      schedule.state_dict() if plateau else None)
+    log.info("avg epoch time: %.2fs; best %s %s=%.5f @ epoch %d",
+             float(np.mean(full_epoch_times)) if full_epoch_times else 0.0,
+             "val", metric, best_val if best_val is not None else float("nan"),
+             best_epoch)
+    return history
+
+
+@register_train("inference-only")
+def inference_only(cfg, loaders, model, state, run_dir, mesh=None):
+    """Evaluate all splits without touching the optimizer
+    (reference custom_train.py:215-260)."""
+    tx = make_tx(cfg)
+    _, _, _, eval_step = make_steps(cfg, model, tx)
+    history = {}
+    for split, loader in loaders.items():
+        lg = SplitLogger(split, run_dir, cfg.dataset.task_type, cfg.model.thresh)
+        eval_epoch(cfg, state, loader, lg, eval_step, mesh)
+        history[split] = [lg.write_epoch(0)]
+    return history

@@ -1,0 +1,120 @@
+"""End-to-end training: loss decreases on the synthetic ZINC-like task;
+checkpoint save/resume round-trips; schedulers follow their formulas."""
+import os
+
+import numpy as np
+import pytest
+
+import graphgps_tpu.data.datasets  # noqa: F401
+import graphgps_tpu.train.loop as L
+from graphgps_tpu.config.config import new_cfg
+from graphgps_tpu.driver import create_loaders, infer_dims, run_single
+from graphgps_tpu.models.networks import build_model
+from graphgps_tpu.optim.optimizers import (ReduceLROnPlateau, build_schedule,
+                                           make_tx)
+
+
+def train_cfg(tmp_path, **over):
+    cfg = new_cfg()
+    cfg.out_dir = str(tmp_path)
+    cfg.dataset.synth_num_graphs = 60
+    cfg.dataset.synth_max_nodes = 16
+    cfg.train.batch_size = 8
+    cfg.gt.layers = 2
+    cfg.gt.dim_hidden = 32
+    cfg.gt.n_heads = 4
+    cfg.optim.max_epoch = 6
+    cfg.optim.base_lr = 3e-3
+    cfg.optim.num_warmup_epochs = 1
+    cfg.train.enable_ckpt = False
+    cfg.metric_best = "mae"
+    cfg.metric_agg = "argmin"
+    for k, v in over.items():
+        node = cfg
+        *parts, leaf = k.split(".")
+        for p in parts:
+            node = node[p]
+        node[leaf] = v
+    return cfg
+
+
+def test_loss_decreases(tmp_path):
+    cfg = train_cfg(tmp_path)
+    hist = run_single(cfg, str(tmp_path / "run"))
+    losses = [h["loss"] for h in hist["train"]]
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert os.path.exists(tmp_path / "run" / "train" / "stats.json")
+
+
+def test_grad_accumulation_equivalent_shapes(tmp_path):
+    cfg = train_cfg(tmp_path, **{"optim.batch_accumulation": 2,
+                                 "optim.max_epoch": 2})
+    hist = run_single(cfg, str(tmp_path / "run"))
+    assert len(hist["train"]) == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = train_cfg(tmp_path, **{"train.enable_ckpt": True,
+                                 "train.ckpt_period": 1,
+                                 "optim.max_epoch": 2})
+    run_dir = str(tmp_path / "run")
+    hist = run_single(cfg, run_dir)
+    assert os.path.isdir(os.path.join(run_dir, "ckpt"))
+    # resume: restores from last epoch and continues without error
+    cfg2 = train_cfg(tmp_path, **{"train.enable_ckpt": True,
+                                  "train.auto_resume": True,
+                                  "optim.max_epoch": 4})
+    hist2 = run_single(cfg2, run_dir)
+    # resumed run only trains the remaining epochs
+    assert len(hist2["train"]) == 2
+
+
+def test_inference_only(tmp_path):
+    cfg = train_cfg(tmp_path, **{"train.mode": "inference-only",
+                                 "optim.max_epoch": 1})
+    hist = run_single(cfg, str(tmp_path / "run"))
+    assert set(hist) == {"train", "val", "test"}
+
+
+def test_schedulers_formulas():
+    cfg = new_cfg()
+    cfg.optim.base_lr = 1.0
+    cfg.optim.num_warmup_epochs = 5
+    cfg.optim.max_epoch = 50
+
+    cfg.optim.scheduler = "cosine_with_warmup"
+    f = build_schedule(cfg)
+    assert f(0) == 0.0
+    assert f(5) == pytest.approx(1.0)
+    assert f(50) == pytest.approx(0.0, abs=1e-9)
+    assert f(5) > f(20) > f(45)
+
+    cfg.optim.scheduler = "linear_with_warmup"
+    f = build_schedule(cfg)
+    assert f(2) == pytest.approx(0.4)
+    assert f(50) == pytest.approx(0.0)
+
+    cfg.optim.scheduler = "polynomial_with_warmup"
+    cfg.optim.min_lr = 0.1
+    f = build_schedule(cfg)
+    assert f(5) == pytest.approx(1.0)
+    assert f(50) == pytest.approx(0.1)
+
+
+def test_reduce_on_plateau():
+    s = ReduceLROnPlateau(base_lr=1.0, factor=0.5, patience=2, mode="min")
+    assert s.update(1.0) == 1.0
+    assert s.update(0.9) == 1.0        # improvement
+    s.update(0.95); s.update(0.95)     # 2 bad epochs
+    assert s.update(0.95) == 0.5       # 3rd bad → decay
+    d = s.state_dict()
+    s2 = ReduceLROnPlateau(base_lr=1.0)
+    s2.load_state_dict(d)
+    assert s2.lr == 0.5
+
+
+def test_eval_metrics_written(tmp_path):
+    cfg = train_cfg(tmp_path, **{"optim.max_epoch": 2})
+    hist = run_single(cfg, str(tmp_path / "run"))
+    assert "mae" in hist["val"][-1]
+    assert "spearmanr" in hist["val"][-1]
