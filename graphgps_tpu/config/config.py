@@ -167,6 +167,7 @@ def new_cfg() -> CfgNode:
         ckpt_period=100, enable_ckpt=True, ckpt_best=False, ckpt_clean=True,
         auto_resume=False, epoch_resume=-1, finetune="",
         sampler="full_batch",
+        log_attn_weights=False,   # harvest per-layer attention (analysis mode)
     )
 
     # --- model -----------------------------------------------------------------

@@ -45,6 +45,11 @@ def load_dataset(cfg) -> DatasetSplits:
     for g in splits.all_graphs:
         task_specific_preprocessing(g, cfg)
 
+    # split regeneration (reference split_generator.py:11-31)
+    if cfg.dataset.split_mode != "standard":
+        from ..splits import prepare_splits
+        splits = prepare_splits(splits, cfg)
+
     # PE precompute (reference master_loader.py:206-216)
     from ...pe.host import compute_posenc
     compute_posenc(splits.all_graphs, cfg)

@@ -121,6 +121,13 @@ def run_single(cfg: CfgNode, run_dir: str, mesh=None) -> Dict:
     tx = make_tx(cfg)
     example = next(iter(loaders["train"])).to_graph_batch()
     state = init_state(cfg, model, example, cfg.seed, tx)
+    trainable_mask = None
+    if cfg.pretrained.dir:
+        from .finetuning import init_model_from_pretrained
+        state, trainable_mask = init_model_from_pretrained(state, cfg)
+        if trainable_mask is not None:
+            tx = make_tx(cfg, trainable_mask)
+            state.opt_state = tx.init(state.params)
     if mesh is not None:
         from .parallel.mesh import shard_params
         state = shard_params(state, mesh)
@@ -130,7 +137,8 @@ def run_single(cfg: CfgNode, run_dir: str, mesh=None) -> Dict:
     mode = cfg.train.mode
     if mode not in train_dict:
         raise ValueError(f"unknown train mode {mode!r}; have {sorted(train_dict)}")
-    return train_dict[mode](cfg, loaders, model, state, run_dir, mesh)
+    return train_dict[mode](cfg, loaders, model, state, run_dir, mesh,
+                            trainable_mask=trainable_mask)
 
 
 def main(argv=None) -> None:
@@ -139,6 +147,9 @@ def main(argv=None) -> None:
     load_cfg(cfg, args.cfg_file)
     if args.opts:
         update_from_list(cfg, args.opts)
+    if cfg.pretrained.dir:
+        from .finetuning import load_pretrained_model_cfg
+        cfg = load_pretrained_model_cfg(cfg)
     set_out_dir(cfg, args.cfg_file)
     os.makedirs(cfg.out_dir, exist_ok=True)
     dump_cfg(cfg, os.path.join(cfg.out_dir, cfg.cfg_dest))

@@ -21,15 +21,29 @@ log = logging.getLogger("graphgps_tpu")
 
 
 class SplitLogger:
-    """Accumulates (pred, true, loss) per iteration; emits epoch stats."""
+    """Accumulates (pred, true, loss) per iteration; emits epoch stats.
+
+    Optional sinks (reference logger.py:281-284 + wandb hooks in
+    custom_train.py:102-179): tensorboardX per-run event files when
+    ``tensorboard=True``; W&B when installed and ``wandb_run`` given.
+    """
 
     def __init__(self, split: str, out_dir: str, task_type: str,
-                 thresh: float = 0.5, precision: int = 5):
+                 thresh: float = 0.5, precision: int = 5,
+                 tensorboard: bool = False, wandb_run=None):
         self.split = split
         self.out_dir = out_dir
         self.task_type = task_type
         self.thresh = thresh
         self.precision = precision
+        self.wandb_run = wandb_run
+        self._tb = None
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(out_dir, split))
+            except Exception as e:  # keep training alive without TB
+                log.warning("tensorboard disabled: %s", e)
         os.makedirs(os.path.join(out_dir, split), exist_ok=True)
         self.reset()
 
@@ -74,6 +88,13 @@ class SplitLogger:
         path = os.path.join(self.out_dir, self.split, "stats.json")
         with open(path, "a") as f:
             f.write(json.dumps(stats) + "\n")
+        if self._tb is not None:
+            for k, v in stats.items():
+                if isinstance(v, (int, float)) and k != "epoch":
+                    self._tb.add_scalar(k, v, cur_epoch)
+        if self.wandb_run is not None:
+            self.wandb_run.log({f"{self.split}/{k}": v for k, v in stats.items()
+                                if isinstance(v, (int, float))}, step=cur_epoch)
         log.info("%s: %s", self.split, {k: v for k, v in stats.items()
                                         if k not in ("params",)})
         self.reset()

@@ -114,7 +114,11 @@ class GPSLayer(nn.Module):
                        if train and self.attn_dropout > 0 else None)
                 o = mha_core(q, k, v, kmask, bias=bias,
                              dropout_rate=self.attn_dropout if train else 0.0,
-                             dropout_rng=rng)
+                             dropout_rng=rng,
+                             return_attn=self.log_attn_weights)
+                if self.log_attn_weights:
+                    o, attn = o
+                    self.sow("intermediates", "attn_weights", attn)
             elif gt == "Performer":
                 m = self.performer_nb_features or int(
                     Dh * np.log(max(Dh, 2)))

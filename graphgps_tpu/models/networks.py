@@ -177,6 +177,7 @@ class GPSModel(nn.Module):
             pna_degrees=tuple(cfg.gt.pna_degrees), equivstable_pe=es_pe,
             dropout=cfg.gt.dropout, attn_dropout=cfg.gt.attn_dropout,
             layer_norm=cfg.gt.layer_norm, batch_norm=cfg.gt.batch_norm,
+            log_attn_weights=bool(cfg.train.get("log_attn_weights", False)),
             bigbird_block_size=cfg.gt.bigbird.block_size,
             bigbird_num_random_blocks=cfg.gt.bigbird.num_random_blocks)
         layer_cls = (nn.remat(GPSLayer, static_argnums=(3,))

@@ -22,10 +22,13 @@ def mha_core(q: jax.Array, k: jax.Array, v: jax.Array,
              key_mask: jax.Array,
              bias: Optional[jax.Array] = None,
              dropout_rate: float = 0.0,
-             dropout_rng: Optional[jax.Array] = None) -> jax.Array:
+             dropout_rng: Optional[jax.Array] = None,
+             return_attn: bool = False):
     """q,k,v: (B, H, N, Dh); key_mask: (B, N) bool; bias: (B, H, N, N) additive.
 
-    Returns (B, H, N, Dh). Softmax is computed in f32 regardless of input dtype.
+    Returns (B, H, N, Dh); with ``return_attn`` also the (B, H, N, N) attention
+    matrix (the reference's log_attn_weights capability, gps_layer.py:242-250).
+    Softmax is computed in f32 regardless of input dtype.
     """
     B, H, N, Dh = q.shape
     scale = 1.0 / jnp.sqrt(Dh).astype(q.dtype)
@@ -37,11 +40,15 @@ def mha_core(q: jax.Array, k: jax.Array, v: jax.Array,
     logits = jnp.where(mask, logits, NEG_INF)
     attn = jax.nn.softmax(logits, axis=-1)
     # rows whose query is padded produce garbage — harmless, masked downstream.
+    attn_drop = attn
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
-        attn = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
-    return jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
-                      preferred_element_type=jnp.float32).astype(v.dtype)
+        attn_drop = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn_drop.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    if return_attn:
+        return out, attn
+    return out
 
 
 def split_heads(x: jax.Array, num_heads: int) -> jax.Array:

@@ -14,10 +14,17 @@ Conventions:
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# Below this (num_edges × num_segments) product, segment-sum is computed as a
+# one-hot MXU matmul instead of an XLA scatter: TPU scatters serialize, while
+# the (E, S) one-hot is built once per batch (CSE'd across layers by XLA) and
+# the reduction rides the systolic array. f32-exact (precision=HIGHEST).
+_DENSE_LIMIT = int(os.environ.get("GGPS_DENSE_SEGMENT_LIMIT", 1 << 23))
 
 
 def _apply_mask(data: jax.Array, mask: Optional[jax.Array], fill) -> jax.Array:
@@ -27,8 +34,27 @@ def _apply_mask(data: jax.Array, mask: Optional[jax.Array], fill) -> jax.Array:
     return jnp.where(m, data, fill)
 
 
+def _onehot(segment_ids: jax.Array, num_segments: int,
+            mask: Optional[jax.Array], dtype) -> jax.Array:
+    """(E, S) one-hot of segment ids; masked lanes are all-zero rows."""
+    io = jax.lax.broadcasted_iota(jnp.int32,
+                                  (segment_ids.shape[0], num_segments), 1)
+    oh = segment_ids[:, None] == io
+    if mask is not None:
+        oh = jnp.logical_and(oh, mask[:, None])
+    return oh.astype(dtype)
+
+
 def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int,
                 mask: Optional[jax.Array] = None) -> jax.Array:
+    if (data.shape[0] * num_segments <= _DENSE_LIMIT
+            and jnp.issubdtype(data.dtype, jnp.floating)):
+        oh = _onehot(segment_ids, num_segments, mask, data.dtype)
+        flat = data.reshape(data.shape[0], -1)
+        out = jnp.einsum("es,ed->sd", oh, flat,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        return out.reshape((num_segments,) + data.shape[1:]).astype(data.dtype)
     data = _apply_mask(data, mask, 0)
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments,
                                indices_are_sorted=True)

@@ -180,12 +180,20 @@ def build_optimizer(cfg) -> optax.GradientTransformation:
     return optimizer_dict[name](cfg.optim.base_lr, cfg)
 
 
-def make_tx(cfg) -> optax.GradientTransformation:
-    """Full gradient transform: [clip] → optimizer(injected lr)."""
+def make_tx(cfg, trainable_mask=None) -> optax.GradientTransformation:
+    """Full gradient transform: [clip] → [freeze body] → optimizer(injected lr).
+
+    ``trainable_mask`` is a params-shaped bool pytree (True = trainable); frozen
+    leaves get zero updates (the finetuning freeze_main capability,
+    reference finetuning.py:144-152).
+    """
     parts = []
     if cfg.optim.clip_grad_norm:
         parts.append(optax.clip_by_global_norm(cfg.optim.clip_grad_norm_value))
-    parts.append(build_optimizer(cfg))
+    opt = build_optimizer(cfg)
+    if trainable_mask is not None:
+        opt = optax.masked(opt, trainable_mask)
+    parts.append(opt)
     return optax.chain(*parts) if len(parts) > 1 else parts[0]
 
 

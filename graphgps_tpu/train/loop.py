@@ -267,6 +267,24 @@ def eval_epoch(cfg, state, loader: BatchLoader, logger: SplitLogger, eval_step,
         logger.update_stats(p, t, float(loss), 0.0, time.time() - t0, real)
 
 
+def maybe_init_wandb(cfg):
+    """W&B run handle when enabled and installed (reference
+    custom_train.py:102-113 + utils.py:108-144 auto-naming); None otherwise."""
+    if not cfg.wandb.use:
+        return None
+    try:
+        import wandb
+    except ImportError:
+        log.warning("wandb.use=True but wandb is not installed — disabled")
+        return None
+    name = cfg.wandb.name or (
+        f"{cfg.dataset.format}-{cfg.dataset.name}.{cfg.model.type}"
+        f".{cfg.gt.layer_type}.s{cfg.seed}")
+    return wandb.init(entity=cfg.wandb.entity or None,
+                      project=cfg.wandb.project, name=name,
+                      config=cfg.to_dict() if hasattr(cfg, "to_dict") else None)
+
+
 # ---------------------------------------------------------------------------------
 # Train modes (registered like reference train_dict, main.py:166-167)
 
@@ -276,9 +294,10 @@ def _metric_cmp(metric_agg: str):
 
 @register_train("custom")
 def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
-                 run_dir: str, mesh=None) -> Dict[str, List[Dict]]:
+                 run_dir: str, mesh=None,
+                 trainable_mask=None) -> Dict[str, List[Dict]]:
     """The main epoch loop (reference custom_train.py:80-212)."""
-    tx = make_tx(cfg)
+    tx = make_tx(cfg, trainable_mask)
     train_step, grad_step, apply_step, eval_step = make_steps(cfg, model, tx)
     schedule = build_schedule(cfg)
     plateau = isinstance(schedule, ReduceLROnPlateau)
@@ -288,7 +307,10 @@ def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
         agg = "argmin"
     better = _metric_cmp(agg)
 
-    loggers = {s: SplitLogger(s, run_dir, cfg.dataset.task_type, cfg.model.thresh)
+    wandb_run = maybe_init_wandb(cfg)
+    loggers = {s: SplitLogger(s, run_dir, cfg.dataset.task_type, cfg.model.thresh,
+                              tensorboard=cfg.tensorboard_each_run,
+                              wandb_run=wandb_run)
                for s in loaders}
     start_epoch = 0
     if cfg.train.auto_resume:
@@ -347,7 +369,8 @@ def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
 
 
 @register_train("inference-only")
-def inference_only(cfg, loaders, model, state, run_dir, mesh=None):
+def inference_only(cfg, loaders, model, state, run_dir, mesh=None,
+                   trainable_mask=None):
     """Evaluate all splits without touching the optimizer
     (reference custom_train.py:215-260)."""
     tx = make_tx(cfg)
@@ -358,3 +381,82 @@ def inference_only(cfg, loaders, model, state, run_dir, mesh=None):
         eval_epoch(cfg, state, loader, lg, eval_step, mesh)
         history[split] = [lg.write_epoch(0)]
     return history
+
+
+@register_train("PCQM4Mv2-inference")
+def ogblsc_inference(cfg, loaders, model, state, run_dir, mesh=None,
+                     trainable_mask=None):
+    """OGB-LSC submission writer (reference custom_train.py:263-310): evaluate
+    valid with MAE; write y_pred .npz submission files for splits whose targets
+    are all-NaN (test-dev / test-challenge convention)."""
+    tx = make_tx(cfg)
+    _, _, _, eval_step = make_steps(cfg, model, tx)
+    history = {}
+    for split, loader in loaders.items():
+        preds, trues = [], []
+        for hb in loader:
+            batch = hb.to_graph_batch()
+            _, pred, true = eval_step(state, batch)
+            p, t = _to_host(pred, true, batch, cfg)
+            preds.append(p)
+            trues.append(t)
+        pred = np.concatenate(preds).reshape(-1)
+        true = np.concatenate(trues).reshape(-1) if trues[0] is not None else None
+        if true is not None and np.isnan(true).all():
+            # held-out split: write submission file (reference :294-308)
+            out = os.path.join(run_dir, f"y_pred_pcqm4m-v2_{split}.npz")
+            np.savez_compressed(out, y_pred=pred.astype(np.float32))
+            log.info("%s: wrote submission %s (%d preds)", split, out, len(pred))
+            history[split] = [dict(n=len(pred), submission=out)]
+        else:
+            m = ~np.isnan(true)
+            mae = float(np.abs(pred[m] - true[m]).mean()) if m.any() else 0.0
+            log.info("%s: MAE %.5f over %d", split, mae, int(m.sum()))
+            history[split] = [dict(mae=mae, n=int(m.sum()))]
+    return history
+
+
+@register_train("log-attn-weights")
+def log_attn_weights_mode(cfg, loaders, model, state, run_dir, mesh=None,
+                          trainable_mask=None):
+    """Harvest per-GPS-layer attention over the test split and save
+    graph_attn_stats.npz (reference custom_train.py:313-385). Requires
+    cfg.train.log_attn_weights=True so GPS layers sow their attention."""
+    import jax
+
+    loader = loaders.get("test") or next(iter(loaders.values()))
+    all_stats = []
+    for bi, hb in enumerate(loader):
+        batch = hb.to_graph_batch()
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        (pred, true), inter = model.apply(variables, batch, False,
+                                          mutable=["intermediates"])
+        nmask = np.asarray(jax.device_get(batch.node_mask)).reshape(
+            batch.num_graphs, batch.max_nodes)
+        layer_attns = []
+        for path, vals in _iter_sown(inter.get("intermediates", {})):
+            layer_attns.append(np.asarray(jax.device_get(vals[0])))
+        if layer_attns:
+            all_stats.append(dict(batch=bi,
+                                  attn=np.stack(layer_attns),  # (L,B,H,N,N)
+                                  node_mask=nmask))
+    out = os.path.join(run_dir, "graph_attn_stats.npz")
+    np.savez_compressed(out, **{f"batch_{s['batch']}_attn": s["attn"]
+                                for s in all_stats},
+                        **{f"batch_{s['batch']}_mask": s["node_mask"]
+                           for s in all_stats})
+    log.info("saved attention stats for %d batches to %s", len(all_stats), out)
+    return {"test": [dict(batches=len(all_stats), path=out)]}
+
+
+def _iter_sown(tree, path=()):
+    """Yield (path, value) for flax sow'd leaves in deterministic order."""
+    if isinstance(tree, (tuple, list)):
+        yield path, tree
+        return
+    for k in sorted(tree):
+        v = tree[k]
+        if isinstance(v, dict):
+            yield from _iter_sown(v, path + (k,))
+        else:
+            yield path + (k,), v

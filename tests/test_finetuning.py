@@ -1,0 +1,70 @@
+"""Finetuning: pretrained cfg merge, weight loading with head reset, body freeze."""
+import os
+
+import numpy as np
+import pytest
+
+import graphgps_tpu.data.datasets  # noqa: F401
+import graphgps_tpu.train.loop as L
+from graphgps_tpu.config.config import dump_cfg, new_cfg
+from graphgps_tpu.driver import run_single
+from graphgps_tpu.finetuning import (freeze_body_mask, load_pretrained_model_cfg)
+
+
+def _cfg(tmp_path, **over):
+    cfg = new_cfg()
+    cfg.out_dir = str(tmp_path)
+    cfg.dataset.synth_num_graphs = 40
+    cfg.dataset.synth_max_nodes = 14
+    cfg.train.batch_size = 8
+    cfg.gt.layers = 1
+    cfg.gt.dim_hidden = 16
+    cfg.gt.n_heads = 2
+    cfg.gnn.dim_inner = 16
+    cfg.optim.max_epoch = 2
+    cfg.train.enable_ckpt = True
+    cfg.train.ckpt_period = 1
+    cfg.metric_best = "mae"
+    cfg.metric_agg = "argmin"
+    for k, v in over.items():
+        node = cfg
+        *parts, leaf = k.split(".")
+        for p in parts:
+            node = node[p]
+        node[leaf] = v
+    return cfg
+
+
+def _pretrain(tmp_path):
+    cfg = _cfg(tmp_path)
+    run_dir = str(tmp_path / "pretrain")
+    run_single(cfg, run_dir)
+    dump_cfg(cfg, os.path.join(run_dir, "config.yaml"))
+    return run_dir
+
+
+def test_pretrained_cfg_merge(tmp_path):
+    pre_dir = _pretrain(tmp_path)
+    cfg2 = _cfg(tmp_path, **{"gt.dim_hidden": 999, "gt.layers": 5})
+    cfg2.pretrained.dir = pre_dir
+    cfg2 = load_pretrained_model_cfg(cfg2)
+    assert cfg2.gt.dim_hidden == 16  # strict field forced to pretrained value
+    assert cfg2.gt.layers == 1
+
+
+def test_finetune_run_and_freeze(tmp_path):
+    pre_dir = _pretrain(tmp_path)
+    cfg2 = _cfg(tmp_path)
+    cfg2.pretrained.dir = pre_dir
+    cfg2.pretrained.freeze_main = True
+    cfg2.optim.max_epoch = 2
+    hist = run_single(cfg2, str(tmp_path / "ft"))
+    assert len(hist["train"]) == 2
+
+
+def test_freeze_mask_shape():
+    params = {"GPSLayer_0": {"Dense_0": {"kernel": np.zeros((2, 2))}},
+              "SANGraphHead_0": {"Dense_0": {"kernel": np.zeros((2, 1))}}}
+    mask = freeze_body_mask(params)
+    assert mask["GPSLayer_0"]["Dense_0"]["kernel"] is False
+    assert mask["SANGraphHead_0"]["Dense_0"]["kernel"] is True
