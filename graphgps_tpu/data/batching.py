@@ -96,8 +96,15 @@ def collate(graphs: List[Graph], batch_size: int, max_nodes: int, max_edges: int
         pe_out[k] = np.zeros((B * Nmax, *v.shape[1:]), dtype=v.dtype)
     extras_out: Dict[str, np.ndarray] = {}
     for k, v in g0.extras.items():
-        # per-graph extras, padded on every axis that equals num_nodes
-        shp = [Nmax if s == g0.num_nodes else s for s in v.shape]
+        # per-graph extras, padded on every axis that equals num_nodes;
+        # other axes (e.g. link-label counts) padded to the batch maximum
+        shp = []
+        for d in range(v.ndim):
+            if v.shape[d] == g0.num_nodes:
+                shp.append(Nmax)
+            else:
+                shp.append(max(g.extras[k].shape[d] for g in graphs
+                               if k in g.extras))
         extras_out[k] = np.zeros((B, *shp), dtype=v.dtype)
 
     e_off = 0
@@ -126,6 +133,11 @@ def collate(graphs: List[Graph], batch_size: int, max_nodes: int, max_edges: int
         for k, v in g.extras.items():
             sl = tuple(slice(0, s) for s in v.shape)
             extras_out[k][(i, *sl)] = v
+            if k == "edge_label":  # validity mask for padded label slots
+                if "edge_label_mask" not in extras_out:
+                    extras_out["edge_label_mask"] = np.zeros(
+                        extras_out[k].shape[:2], dtype=bool)
+                extras_out["edge_label_mask"][i, :v.shape[0]] = True
         e_off += e
 
     # Sort edges by receiver (stable) — padded edges (receiver 0, mask False) sort

@@ -34,7 +34,8 @@ class DatasetSplits:
 
 def load_dataset(cfg) -> DatasetSplits:
     fmt, name = cfg.dataset.format, cfg.dataset.name
-    key = fmt if fmt in dataset_dict else f"{fmt}-{name}"
+    # most-specific first: "<format>-<name>" beats the generic format loader
+    key = f"{fmt}-{name}" if f"{fmt}-{name}" in dataset_dict else fmt
     if key not in dataset_dict:
         raise ValueError(f"no dataset loader for format={fmt!r} name={name!r};"
                          f" registered: {sorted(dataset_dict)}")

@@ -98,12 +98,13 @@ def create_loaders(cfg: CfgNode, splits: DatasetSplits,
     if data_parallel > 1:
         bs = round_up(bs, data_parallel)
     max_edges = cfg.dataset.max_edges or round_up(bs * e_cap, 128)
+    from .data.packed import PackedLoader
     out = {}
     for name, graphs in (("train", splits.train), ("val", splits.val),
                          ("test", splits.test)):
         if not graphs:
             continue
-        out[name] = BatchLoader(
+        out[name] = PackedLoader(
             graphs, batch_size=bs, max_nodes=max_nodes, max_edges=max_edges,
             shuffle=(name == "train"), seed=cfg.seed,
             y_graph_level=y_graph_level)

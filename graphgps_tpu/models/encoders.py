@@ -157,6 +157,43 @@ class PPAEdgeEncoder(nn.Module):
         return nn.Dense(self.dim_emb)(batch.edge_feat.astype(jnp.float32))
 
 
+@register_node_encoder("ASTNode")
+class ASTNodeEncoder(nn.Module):
+    """ogbg-code2 AST nodes: type + attribute + depth embeddings
+    (reference ast_encoder.py:34-68). node_feat columns: [type, attr, depth]."""
+
+    dim_emb: int
+    num_node_types: int = 98
+    num_node_attr: int = 10030
+    max_depth: int = 20
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, x, train: bool):
+        f = batch.node_feat.astype(jnp.int32)
+        t = nn.Embed(self.num_node_types, self.dim_emb)(
+            jnp.clip(f[:, 0], 0, self.num_node_types - 1))
+        a = nn.Embed(self.num_node_attr, self.dim_emb)(
+            jnp.clip(f[:, 1], 0, self.num_node_attr - 1))
+        d = nn.Embed(self.max_depth + 1, self.dim_emb)(
+            jnp.clip(f[:, 2], 0, self.max_depth))
+        return t + a + d
+
+
+@register_edge_encoder("ASTEdge")
+class ASTEdgeEncoder(nn.Module):
+    """ogbg-code2 edges: type (AST/next-token) + direction embeddings
+    (reference ast_encoder.py:70-84)."""
+
+    dim_emb: int
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool):
+        f = batch.edge_feat.astype(jnp.int32)
+        t = nn.Embed(2, self.dim_emb)(jnp.clip(f[:, 0], 0, 1))
+        d = nn.Embed(2, self.dim_emb)(jnp.clip(f[:, 1], 0, 1))
+        return t + d
+
+
 # --- PE encoders (append dim_pe channels to x) -------------------------------------
 
 class KernelPENodeEncoder(nn.Module):

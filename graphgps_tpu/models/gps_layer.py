@@ -22,6 +22,7 @@ from ..data.graph import GraphBatch
 from ..ops import favor
 from ..ops.bigbird import bigbird_block_mask
 from ..ops.mha import mha_core, merge_heads, split_heads
+from ..ops.pallas.flash_mha import mha as mha_dispatch
 from .common import Norm, get_act
 from .local_gnn import (GATLayer, GCNLayer, GENConvLayer, GINELayer, GINLayer,
                         GatedGCNLayer, PNALayer)
@@ -112,10 +113,10 @@ class GPSLayer(nn.Module):
                     bias = batch.extras["attn_bias"]       # (B, H, N, N)
                 rng = (self.make_rng("dropout")
                        if train and self.attn_dropout > 0 else None)
-                o = mha_core(q, k, v, kmask, bias=bias,
-                             dropout_rate=self.attn_dropout if train else 0.0,
-                             dropout_rng=rng,
-                             return_attn=self.log_attn_weights)
+                o = mha_dispatch(q, k, v, kmask, bias=bias,
+                                 dropout_rate=self.attn_dropout if train else 0.0,
+                                 dropout_rng=rng,
+                                 return_attn=self.log_attn_weights)
                 if self.log_attn_weights:
                     o, attn = o
                     self.sow("intermediates", "attn_weights", attn)

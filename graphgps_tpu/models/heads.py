@@ -137,9 +137,13 @@ class InductiveEdgeHead(nn.Module):
         x = MLP(hidden_dim=self.dim_in, out_dim=self.dim_in,
                 num_layers=max(1, self.layers), act=self.act)(x)
         eli = batch.extras["edge_label_index"].astype(jnp.int32)
-        if eli.ndim == 3:
-            eli = eli.reshape(2, -1) if eli.shape[0] == 2 else eli.transpose(1, 0, 2).reshape(2, -1)
-        src, dst = x[eli[0]], x[eli[1]]
+        if eli.ndim == 3:  # (B, 2, P) graph-local → flat node-slot indices
+            off = (jnp.arange(batch.num_graphs) * batch.max_nodes)[:, None]
+            src_idx = (eli[:, 0] + off).reshape(-1)
+            dst_idx = (eli[:, 1] + off).reshape(-1)
+        else:  # already-flat (2, P)
+            src_idx, dst_idx = eli[0], eli[1]
+        src, dst = x[src_idx], x[dst_idx]
         if self.decoding == "dot":
             pred = (src * dst).sum(-1)
         elif self.decoding == "cosine_similarity":
@@ -147,7 +151,10 @@ class InductiveEdgeHead(nn.Module):
                 jnp.linalg.norm(src, axis=-1) * jnp.linalg.norm(dst, axis=-1) + 1e-8)
         else:  # concat
             pred = nn.Dense(1)(jnp.concatenate([src, dst], axis=-1))[..., 0]
-        return pred, batch.extras.get("edge_label")
+        label = batch.extras.get("edge_label")
+        if label is not None:
+            label = label.reshape(-1)
+        return pred, label
 
 
 @register_head("ogb_code_graph")

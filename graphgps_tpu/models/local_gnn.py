@@ -97,7 +97,7 @@ class GINELayer(nn.Module):
         x_in = x
         eps = self.param("eps", nn.initializers.zeros, ())
         s, r = batch.senders, batch.receivers
-        m = nn.relu(x[s] + e)
+        m = nn.relu(x[s] + e) if e is not None else nn.relu(x[s])
         if self.equivstable_pe:
             rij = _es_pe_scale(batch, MLP(hidden_dim=self.dim, out_dim=1,
                                           num_layers=2, act="relu"))

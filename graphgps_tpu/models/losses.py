@@ -40,7 +40,9 @@ def mse_loss(pred, true, mask):
 
 @register_loss("cross_entropy")
 def cross_entropy(pred, true, mask):
-    """Multiclass CE with integer targets; pred (R, C), true (R,)."""
+    """Multiclass CE with integer targets; pred (R, C), true (R,) or (R, 1)."""
+    if true.ndim == pred.ndim:  # (R, 1) graph-label column → (R,)
+        true = true[..., 0]
     logp = jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1)
     tgt = jnp.clip(true.astype(jnp.int32), 0, pred.shape[-1] - 1)
     nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
@@ -73,6 +75,8 @@ def weighted_cross_entropy(pred, true, mask):
     """Inverse-class-frequency weighted CE for PATTERN/CLUSTER/VOC/COCO
     (reference loss/weighted_cross_entropy.py:7-29). Weights computed per batch
     from masked label counts."""
+    if true.ndim == pred.ndim:
+        true = true[..., 0]
     C = pred.shape[-1]
     tgt = jnp.clip(true.astype(jnp.int32), 0, C - 1)
     m = mask.astype(jnp.float32)

@@ -35,7 +35,8 @@ def _make_node_encoder(name: str, dim_emb: int, cfg: CfgNode):
     if name == "TypeDictNode":
         return node_encoder_dict[name](dim_emb=dim_emb,
                                        num_types=cfg.dataset.node_encoder_num_types)
-    if name in ("Atom", "LinearNode", "VOCNode", "COCONode", "PPANode"):
+    if name in ("Atom", "LinearNode", "VOCNode", "COCONode", "PPANode",
+                "ASTNode"):
         return node_encoder_dict[name](dim_emb=dim_emb)
     if name in ("RWSE", "HKdiagSE", "ElstaticSE"):
         p = cfg[f"posenc_{name}"]

