@@ -67,7 +67,7 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     # warmup/compile
-    state, loss, _, _ = train_step(state, gb, rng)
+    state, loss, _, _, _ = train_step(state, gb, rng)
     jax.block_until_ready(loss)
 
     windows = []
@@ -76,7 +76,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(iters):
             rng, sub = jax.random.split(rng)
-            state, loss, _, _ = train_step(state, gb, sub)
+            state, loss, _, _, _ = train_step(state, gb, sub)
         jax.block_until_ready(loss)
         windows.append((time.perf_counter() - t0) / iters)
     step_s = sorted(windows)[len(windows) // 2]

@@ -37,6 +37,12 @@ class MaskedBatchNorm(nn.Module):
     ``mask`` selects real rows; padded rows neither contribute to statistics nor
     receive gradients through them (they are normalized with the same stats but
     downstream ops mask them out).
+
+    Cross-replica semantics (SURVEY.md §7.3.7): under data parallelism the
+    statistics are computed inside the global-view jitted graph over the FULL
+    global batch — XLA inserts the cross-device reductions — so this is
+    sync-BN by construction, matching the reference's single-device BN math at
+    any device count (verified by tests/test_parallel.py DP-equality).
     """
 
     momentum: float = 0.9

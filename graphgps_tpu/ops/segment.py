@@ -55,9 +55,12 @@ def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int,
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
         return out.reshape((num_segments,) + data.shape[1:]).astype(data.dtype)
-    if (jnp.issubdtype(data.dtype, jnp.floating) and data.ndim == 2
+    if (os.environ.get("GGPS_USE_CSR_KERNEL", "0") == "1"
+            and jnp.issubdtype(data.dtype, jnp.floating) and data.ndim == 2
             and num_segments % 128 == 0 and jax.default_backend() == "tpu"):
-        # large-scale path: Pallas CSR kernel (edges sorted by receiver)
+        # large-scale Pallas CSR kernel (edges sorted by receiver). Measured at
+        # parity with XLA's sorted scatter on v5e for code2-scale shapes
+        # (~1ms @ E=64k,S=32k,D=128), so opt-in until it wins.
         from .pallas.segment_csr import row_ptr_from_sorted, segment_sum_csr
         d = _apply_mask(data, mask, 0)
         row_ptr = row_ptr_from_sorted(segment_ids, num_segments)

@@ -87,14 +87,14 @@ def make_steps(cfg, model, tx):
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, batch_stats=bs,
                                opt_state=opt_state, step=state.step + 1)
-        return new_state, loss, pred, true
+        return new_state, loss, pred, true, _loss_mask(cfg, batch, pred)
 
     def grad_step(state: TrainState, batch: GraphBatch, rng, grad_accum):
         (loss, (bs, pred, true)), grads = jax.value_and_grad(
             forward_loss, has_aux=True)(state.params, state.batch_stats, batch,
                                         rng, jnp.asarray(state.step))
         grad_accum = jax.tree_util.tree_map(jnp.add, grad_accum, grads)
-        return grad_accum, bs, loss, pred, true
+        return grad_accum, bs, loss, pred, true, _loss_mask(cfg, batch, pred)
 
     def apply_step(state: TrainState, grad_accum, bs, k: int):
         grads = jax.tree_util.tree_map(lambda g: g / k, grad_accum)
@@ -108,7 +108,7 @@ def make_steps(cfg, model, tx):
         pred, true = model.apply(variables, batch, False, mutable=False)
         mask = _loss_mask(cfg, batch, pred)
         loss = compute_loss(cfg, pred, true, mask)
-        return loss, pred, true
+        return loss, pred, true, mask
 
     donate = (0,) if cfg.parallel.donate else ()
     return (jax.jit(train_step, donate_argnums=donate),
@@ -148,6 +148,24 @@ def _to_host(pred, true, batch: GraphBatch, cfg):
     else:
         m = np.ones((pred.shape[0],), dtype=bool)
     return pred[m], (true[m] if true is not None else None)
+
+
+def _drain_pending(pending, logger: SplitLogger, lr: float):
+    """Host-pull an epoch's accumulated device results in one pass.
+
+    Keeping (pred, true, mask, loss) on device during the epoch avoids a
+    host sync per step (the reference syncs every iteration,
+    custom_train.py:30-31,40-46 — a major pipeline stall on TPU).
+    """
+    for pred, true, mask, loss, real, dt in pending:
+        pred = np.asarray(jax.device_get(pred))
+        true = np.asarray(jax.device_get(true)) if true is not None else None
+        m = np.asarray(jax.device_get(mask)).reshape(-1)
+        if m.shape[0] != pred.shape[0]:
+            m = np.ones((pred.shape[0],), dtype=bool)
+        logger.update_stats(pred[m], true[m] if true is not None else None,
+                            float(jax.device_get(loss)), lr, dt, real)
+    pending.clear()
 
 
 # ---------------------------------------------------------------------------------
@@ -227,48 +245,46 @@ def is_ckpt_epoch(cfg, epoch: int) -> bool:
 
 def train_epoch(cfg, state, loaders_train: BatchLoader, logger: SplitLogger,
                 train_step, grad_step, apply_step, lr: float, rng, mesh=None):
+    from ..data.prefetch import prefetch
+
     accum = max(1, cfg.optim.batch_accumulation)
     zero_grads = None
-    pending = 0
+    n_accum = 0
     bs_latest = state.batch_stats
-    for it, hb in enumerate(loaders_train):
+    results = []
+    for it, (hb, batch) in enumerate(prefetch(loaders_train, mesh)):
         t0 = time.time()
-        batch = hb.to_graph_batch()
-        if mesh is not None:
-            from ..parallel.mesh import shard_batch
-            batch = shard_batch(batch, mesh)
         rng, sub = jax.random.split(rng)
         real = int(np.asarray(hb.arrays["graph_mask"]).sum())
         if accum == 1:
-            state, loss, pred, true = train_step(state, batch, sub)
+            state, loss, pred, true, mask = train_step(state, batch, sub)
         else:
-            if pending == 0:
+            if n_accum == 0:
                 zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-            zero_grads, bs_latest, loss, pred, true = grad_step(
+            zero_grads, bs_latest, loss, pred, true, mask = grad_step(
                 state, batch, sub, zero_grads)
-            pending += 1
-            if pending == accum:
+            n_accum += 1
+            if n_accum == accum:
                 state = apply_step(state, zero_grads, bs_latest, accum)
-                pending = 0
-        p, t = _to_host(pred, true, batch, cfg)
-        logger.update_stats(p, t, float(loss), lr, time.time() - t0, real)
-    if accum > 1 and pending:
-        state = apply_step(state, zero_grads, bs_latest, pending)
+                n_accum = 0
+        results.append((pred, true, mask, loss, real, time.time() - t0))
+    if accum > 1 and n_accum:
+        state = apply_step(state, zero_grads, bs_latest, n_accum)
+    _drain_pending(results, logger, lr)
     return state, rng
 
 
 def eval_epoch(cfg, state, loader: BatchLoader, logger: SplitLogger, eval_step,
                mesh=None):
-    for hb in loader:
+    from ..data.prefetch import prefetch
+
+    results = []
+    for hb, batch in prefetch(loader, mesh):
         t0 = time.time()
-        batch = hb.to_graph_batch()
-        if mesh is not None:
-            from ..parallel.mesh import shard_batch
-            batch = shard_batch(batch, mesh)
-        loss, pred, true = eval_step(state, batch)
+        loss, pred, true, mask = eval_step(state, batch)
         real = int(np.asarray(hb.arrays["graph_mask"]).sum())
-        p, t = _to_host(pred, true, batch, cfg)
-        logger.update_stats(p, t, float(loss), 0.0, time.time() - t0, real)
+        results.append((pred, true, mask, loss, real, time.time() - t0))
+    _drain_pending(results, logger, 0.0)
 
 
 def maybe_init_wandb(cfg):
@@ -400,7 +416,7 @@ def ogblsc_inference(cfg, loaders, model, state, run_dir, mesh=None,
         preds, trues = [], []
         for hb in loader:
             batch = hb.to_graph_batch()
-            _, pred, true = eval_step(state, batch)
+            _, pred, true, _mask = eval_step(state, batch)
             p, t = _to_host(pred, true, batch, cfg)
             preds.append(p)
             trues.append(t)

@@ -43,12 +43,12 @@ def _setup(batch_size=8, optimizer="adamW"):
 def test_dp_forward_matches_single_device():
     cfg, model, tx, state, gb = _setup()
     _, _, _, eval_step = L.make_steps(cfg, model, tx)
-    loss_1, pred_1, _ = eval_step(state, gb)
+    loss_1, pred_1, _, _ = eval_step(state, gb)
 
     mesh = make_mesh(devices=jax.devices())
     state_r = shard_params(state, mesh)
     gb_s = shard_batch(gb, mesh)
-    loss_8, pred_8, _ = eval_step(state_r, gb_s)
+    loss_8, pred_8, _, _ = eval_step(state_r, gb_s)
     np.testing.assert_allclose(np.asarray(loss_1), np.asarray(loss_8),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(pred_1), np.asarray(pred_8),
@@ -62,13 +62,13 @@ def test_dp_train_step_matches_single_device():
     cfg, model, tx, state, gb = _setup(optimizer="sgd")
     train_step, _, _, _ = L.make_steps(cfg, model, tx)
     rngk = jax.random.PRNGKey(3)
-    s1, loss1, _, _ = train_step(state, gb, rngk)
+    s1, loss1, _, _, _ = train_step(state, gb, rngk)
 
     cfg2, model2, tx2, state2, gb2 = _setup(optimizer="sgd")
     mesh = make_mesh(devices=jax.devices())
     train_step2, _, _, _ = L.make_steps(cfg2, model2, tx2)
-    s8, loss8, _, _ = train_step2(shard_params(state2, mesh),
-                                  shard_batch(gb2, mesh), rngk)
+    s8, loss8, _, _, _ = train_step2(shard_params(state2, mesh),
+                                     shard_batch(gb2, mesh), rngk)
     np.testing.assert_allclose(np.asarray(loss1), np.asarray(loss8),
                                rtol=1e-5, atol=1e-6)
     p1 = jax.tree_util.tree_leaves(s1.params)
