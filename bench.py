@@ -28,6 +28,9 @@ import numpy as np
 def main():
     import jax
 
+    from graphgps_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+
     import graphgps_tpu.data.datasets  # noqa: F401
     import graphgps_tpu.train.loop as L
     from graphgps_tpu.config.config import new_cfg

@@ -143,6 +143,8 @@ def run_single(cfg: CfgNode, run_dir: str, mesh=None) -> Dict:
 
 
 def main(argv=None) -> None:
+    from .utils import enable_compile_cache
+    enable_compile_cache()
     args = parse_args(argv)
     cfg = new_cfg()
     load_cfg(cfg, args.cfg_file)
