@@ -168,6 +168,7 @@ def new_cfg() -> CfgNode:
         auto_resume=False, epoch_resume=-1, finetune="",
         sampler="full_batch",
         log_attn_weights=False,   # harvest per-layer attention (analysis mode)
+        device_loader=True,       # device-side batch assembly when possible
     )
 
     # --- model -----------------------------------------------------------------

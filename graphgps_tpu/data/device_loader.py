@@ -1,0 +1,202 @@
+"""Device-side batch assembly: upload the dataset arena once, transfer only
+graph indices per step.
+
+Host-side collation pays one host→device transfer of every batch array per
+step — through this environment's TPU tunnel that is the dominant epoch cost.
+TPU-native alternative: the packed arenas (data/packed.py) are uploaded to HBM
+ONCE per split; each step ships only the (B,) graph-index vector and a jitted
+gather assembles the padded GraphBatch entirely on device:
+
+- node rows:   arena[node_off[sel][:,None] + arange(Nmax)]  (masked gather)
+- edges:       per-graph layout (B, Eg) — local ids + slot base; each graph's
+  edges are pre-sorted by receiver at pack time, so the flattened batch edge
+  list is globally receiver-sorted (slot bases increase with graph position)
+  and the CSR segment kernels' sortedness contract holds;
+- y / PE rows: same gather pattern.
+
+Falls back to the host PackedLoader when a dataset carries per-graph extras
+(attn_bias, link labels) — those stay host-collated.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .batching import round_up
+from .graph import Graph, GraphBatch
+from .packed import PackedGraphs
+
+
+class DeviceArenas:
+    """Per-split device-resident arenas with per-graph edge layout."""
+
+    def __init__(self, graphs: Sequence[Graph], y_graph_level: bool = True,
+                 edge_cap: Optional[int] = None):
+        G = len(graphs)
+        g0 = graphs[0]
+        max_n = max(g.num_nodes for g in graphs)
+        max_e = max((g.num_edges for g in graphs), default=1)
+        self.max_nodes_raw = max_n
+        self.edge_cap = edge_cap or round_up(max(max_e, 1), 8)
+        if self.edge_cap < max_e:
+            raise ValueError(f"edge_cap {self.edge_cap} < max graph edges {max_e}")
+
+        node_off = np.zeros(G + 1, np.int64)
+        for i, g in enumerate(graphs):
+            node_off[i + 1] = node_off[i] + g.num_nodes
+        node_feat = np.concatenate([g.node_feat for g in graphs], axis=0)
+
+        # per-graph edge arena (G, Ecap) with receiver-sorted local ids
+        Ecap = self.edge_cap
+        senders = np.zeros((G, Ecap), np.int32)
+        receivers = np.zeros((G, Ecap), np.int32)
+        e_count = np.zeros((G,), np.int32)
+        edge_feat = None
+        if g0.edge_feat is not None:
+            edge_feat = np.zeros((G, Ecap, *g0.edge_feat.shape[1:]),
+                                 g0.edge_feat.dtype)
+        for i, g in enumerate(graphs):
+            e = g.num_edges
+            order = np.argsort(g.edge_index[1], kind="stable")
+            senders[i, :e] = g.edge_index[0][order]
+            receivers[i, :e] = g.edge_index[1][order]
+            # padding receivers: last node of the graph keeps sortedness
+            pad_r = g.num_nodes - 1 if g.num_nodes else 0
+            receivers[i, e:] = pad_r
+            senders[i, e:] = pad_r
+            e_count[i] = e
+            if edge_feat is not None and g.edge_feat is not None:
+                edge_feat[i, :e] = g.edge_feat[order]
+
+        n_count = (node_off[1:] - node_off[:-1]).astype(np.int32)
+
+        self.node_off = jnp.asarray(node_off)
+        self.n_count = jnp.asarray(n_count)
+        self.e_count = jnp.asarray(e_count)
+        self.node_feat = jnp.asarray(node_feat)
+        self.senders = jnp.asarray(senders)
+        self.receivers = jnp.asarray(receivers)
+        self.edge_feat = jnp.asarray(edge_feat) if edge_feat is not None else None
+
+        self.pe = {}
+        for k in g0.pe:
+            self.pe[k] = jnp.asarray(
+                np.concatenate([g.pe[k] for g in graphs], axis=0))
+
+        self.y = None
+        self.y_graph_level = y_graph_level
+        if g0.y is not None and y_graph_level:
+            ys = [np.atleast_1d(np.asarray(g.y)) for g in graphs]
+            self.y = jnp.asarray(np.stack(ys))
+        elif g0.y is not None:
+            self.y_node = jnp.asarray(
+                np.concatenate([np.asarray(g.y) for g in graphs], axis=0))
+        self.num_graphs_total = G
+        self.has_extras = bool(g0.extras)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def assemble(arenas_tree, sel: jax.Array, max_nodes: int, num_graphs: int):
+    """Jitted device-side collation: (arenas, (B,) int32) → GraphBatch."""
+    a = arenas_tree
+    B, Nmax = num_graphs, max_nodes
+    off = a["node_off"][sel]                       # (B,)
+    ncnt = a["n_count"][sel]
+    ecnt = a["e_count"][sel]
+    gmask = sel >= 0
+
+    j = jnp.arange(Nmax)[None, :]
+    node_idx = off[:, None] + jnp.minimum(j, jnp.maximum(ncnt[:, None] - 1, 0))
+    node_mask = (j < ncnt[:, None]) & gmask[:, None]
+    nf = a["node_feat"][node_idx.reshape(-1)]
+    nf = jnp.where(node_mask.reshape(-1)[(...,) + (None,) * (nf.ndim - 1)],
+                   nf, 0)
+
+    Ecap = a["senders"].shape[1]
+    k = jnp.arange(Ecap)[None, :]
+    emask = (k < ecnt[:, None]) & gmask[:, None]
+    base = (jnp.arange(B) * Nmax)[:, None]
+    snd = (a["senders"][sel] + base).reshape(-1).astype(jnp.int32)
+    rcv = (a["receivers"][sel] + base).reshape(-1).astype(jnp.int32)
+    ef = None
+    if a.get("edge_feat") is not None:
+        ef = a["edge_feat"][sel].reshape(B * Ecap,
+                                         *a["edge_feat"].shape[2:])
+        ef = jnp.where(emask.reshape(-1)[(...,) + (None,) * (ef.ndim - 1)],
+                       ef, 0)
+
+    pe = {}
+    for key, arena in a["pe"].items():
+        v = arena[node_idx.reshape(-1)]
+        # zero padding (host-collation convention): NaN here would poison
+        # masked reductions (0·NaN = NaN); LapPE's own NaN semantics live in
+        # the arena content, not the padding
+        pe[key] = jnp.where(
+            node_mask.reshape(-1)[(...,) + (None,) * (v.ndim - 1)], v, 0)
+
+    y = None
+    if a.get("y") is not None:
+        y = a["y"][sel]
+        if jnp.issubdtype(y.dtype, jnp.floating):
+            y = jnp.where(gmask[(...,) + (None,) * (y.ndim - 1)], y, jnp.nan)
+
+    return GraphBatch(
+        node_feat=nf, edge_feat=ef, senders=snd, receivers=rcv,
+        node_mask=node_mask.reshape(-1), edge_mask=emask.reshape(-1),
+        graph_mask=gmask, y=y, pe=pe, extras={},
+        num_graphs=B, max_nodes=Nmax)
+
+
+class DeviceLoader:
+    """Epoch iterator yielding device-assembled GraphBatches.
+
+    API-compatible with BatchLoader/PackedLoader for the training loop; per
+    step only the (B,) index vector crosses the host→device boundary.
+    """
+
+    def __init__(self, graphs: Sequence[Graph], batch_size: int,
+                 max_nodes: Optional[int] = None,
+                 max_edges: Optional[int] = None, shuffle: bool = False,
+                 seed: int = 0, y_graph_level: bool = True,
+                 drop_last: bool = False):
+        edge_cap = (-(-max_edges // batch_size)) if max_edges else None
+        self.arenas = DeviceArenas(graphs, y_graph_level, edge_cap=edge_cap)
+        self.batch_size = batch_size
+        self.max_nodes = max_nodes or round_up(self.arenas.max_nodes_raw, 8)
+        self.max_edges = batch_size * self.arenas.edge_cap
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.y_graph_level = y_graph_level
+        self.drop_last = drop_last
+        a = self.arenas
+        self._tree = dict(node_off=a.node_off, n_count=a.n_count,
+                          e_count=a.e_count, node_feat=a.node_feat,
+                          senders=a.senders, receivers=a.receivers,
+                          edge_feat=a.edge_feat, pe=a.pe, y=a.y)
+
+    def __len__(self) -> int:
+        n = self.arenas.num_graphs_total
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator:
+        n = self.arenas.num_graphs_total
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        self.epoch += 1
+        B = self.batch_size
+        stop = n - (n % B) if self.drop_last else n
+        for s in range(0, stop, B):
+            chunk = idx[s:s + B]
+            real = len(chunk)
+            if real < B:
+                chunk = np.concatenate([chunk, -np.ones(B - real, np.int64)])
+            sel = jnp.asarray(chunk.astype(np.int32))
+            gb = assemble(self._tree, sel, self.max_nodes, B)
+            yield real, gb

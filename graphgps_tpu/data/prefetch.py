@@ -16,22 +16,30 @@ _SENTINEL = object()
 
 
 def prefetch(host_batches, mesh=None, depth: int = 2) -> Iterator:
-    """Iterate GraphBatches with background collation/transfer.
+    """Iterate (num_real_graphs, GraphBatch) with background collation/transfer.
 
-    ``host_batches`` yields HostBatch; each is converted (device_put, with
-    data sharding when ``mesh`` is given) on a worker thread.
+    ``host_batches`` yields either HostBatch records (host collation path) or
+    ``(real, GraphBatch)`` pairs (device-side assembly path); host batches are
+    converted (device_put, with data sharding when ``mesh`` is given) on a
+    worker thread.
     """
+    import numpy as np
+
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     err: list = []
 
     def worker():
         try:
-            for hb in host_batches:
-                gb = hb.to_graph_batch()
+            for item in host_batches:
+                if isinstance(item, tuple):
+                    real, gb = item
+                else:
+                    real = int(np.asarray(item.arrays["graph_mask"]).sum())
+                    gb = item.to_graph_batch()
                 if mesh is not None:
                     from ..parallel.mesh import shard_batch
                     gb = shard_batch(gb, mesh)
-                q.put((hb, gb))
+                q.put((real, gb))
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:

@@ -99,12 +99,21 @@ def create_loaders(cfg: CfgNode, splits: DatasetSplits,
         bs = round_up(bs, data_parallel)
     max_edges = cfg.dataset.max_edges or round_up(bs * e_cap, 128)
     from .data.packed import PackedLoader
+    # device-side assembly (one arena upload per split, per-step index-only
+    # transfer) when the task shape allows; host packed collation otherwise
+    g0 = splits.train[0]
+    use_device = (cfg.train.get("device_loader", True) and y_graph_level
+                  and not g0.extras)
+    if use_device:
+        from .data.device_loader import DeviceLoader as LoaderCls
+    else:
+        LoaderCls = PackedLoader
     out = {}
     for name, graphs in (("train", splits.train), ("val", splits.val),
                          ("test", splits.test)):
         if not graphs:
             continue
-        out[name] = PackedLoader(
+        out[name] = LoaderCls(
             graphs, batch_size=bs, max_nodes=max_nodes, max_edges=max_edges,
             shuffle=(name == "train"), seed=cfg.seed,
             y_graph_level=y_graph_level)
@@ -120,7 +129,8 @@ def run_single(cfg: CfgNode, run_dir: str, mesh=None) -> Dict:
     loaders = create_loaders(cfg, splits, data_parallel=ndev)
     model = build_model(cfg, dim_out)
     tx = make_tx(cfg)
-    example = next(iter(loaders["train"])).to_graph_batch()
+    example = next(iter(loaders["train"]))
+    example = example[1] if isinstance(example, tuple) else example.to_graph_batch()
     state = init_state(cfg, model, example, cfg.seed, tx)
     trainable_mask = None
     if cfg.pretrained.dir:

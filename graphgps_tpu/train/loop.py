@@ -151,20 +151,26 @@ def _to_host(pred, true, batch: GraphBatch, cfg):
 
 
 def _drain_pending(pending, logger: SplitLogger, lr: float):
-    """Host-pull an epoch's accumulated device results in one pass.
+    """Host-pull an epoch's accumulated device results in ONE transfer.
 
-    Keeping (pred, true, mask, loss) on device during the epoch avoids a
-    host sync per step (the reference syncs every iteration,
-    custom_train.py:30-31,40-46 — a major pipeline stall on TPU).
+    Keeping (pred, true, mask, loss) on device during the epoch avoids a host
+    sync per step (the reference syncs every iteration,
+    custom_train.py:30-31,40-46), and pulling the whole epoch as a single
+    pytree amortizes the device→host round-trip latency once per epoch.
     """
-    for pred, true, mask, loss, real, dt in pending:
-        pred = np.asarray(jax.device_get(pred))
-        true = np.asarray(jax.device_get(true)) if true is not None else None
-        m = np.asarray(jax.device_get(mask)).reshape(-1)
+    if not pending:
+        return
+    device_part = [(p, t, m, l) for p, t, m, l, _, _ in pending]
+    host_part = jax.device_get(device_part)
+    for (pred, true, mask, loss), (_, _, _, _, real, dt) in zip(host_part,
+                                                                pending):
+        pred = np.asarray(pred)
+        true = np.asarray(true) if true is not None else None
+        m = np.asarray(mask).reshape(-1)
         if m.shape[0] != pred.shape[0]:
             m = np.ones((pred.shape[0],), dtype=bool)
         logger.update_stats(pred[m], true[m] if true is not None else None,
-                            float(jax.device_get(loss)), lr, dt, real)
+                            float(loss), lr, dt, real)
     pending.clear()
 
 
@@ -252,10 +258,9 @@ def train_epoch(cfg, state, loaders_train: BatchLoader, logger: SplitLogger,
     n_accum = 0
     bs_latest = state.batch_stats
     results = []
-    for it, (hb, batch) in enumerate(prefetch(loaders_train, mesh)):
+    for it, (real, batch) in enumerate(prefetch(loaders_train, mesh)):
         t0 = time.time()
         rng, sub = jax.random.split(rng)
-        real = int(np.asarray(hb.arrays["graph_mask"]).sum())
         if accum == 1:
             state, loss, pred, true, mask = train_step(state, batch, sub)
         else:
@@ -279,10 +284,9 @@ def eval_epoch(cfg, state, loader: BatchLoader, logger: SplitLogger, eval_step,
     from ..data.prefetch import prefetch
 
     results = []
-    for hb, batch in prefetch(loader, mesh):
+    for real, batch in prefetch(loader, mesh):
         t0 = time.time()
         loss, pred, true, mask = eval_step(state, batch)
-        real = int(np.asarray(hb.arrays["graph_mask"]).sum())
         results.append((pred, true, mask, loss, real, time.time() - t0))
     _drain_pending(results, logger, 0.0)
 
@@ -413,9 +417,9 @@ def ogblsc_inference(cfg, loaders, model, state, run_dir, mesh=None,
     _, _, _, eval_step = make_steps(cfg, model, tx)
     history = {}
     for split, loader in loaders.items():
+        from ..data.prefetch import prefetch as _prefetch
         preds, trues = [], []
-        for hb in loader:
-            batch = hb.to_graph_batch()
+        for _real, batch in _prefetch(loader, mesh):
             _, pred, true, _mask = eval_step(state, batch)
             p, t = _to_host(pred, true, batch, cfg)
             preds.append(p)
@@ -446,8 +450,8 @@ def log_attn_weights_mode(cfg, loaders, model, state, run_dir, mesh=None,
 
     loader = loaders.get("test") or next(iter(loaders.values()))
     all_stats = []
-    for bi, hb in enumerate(loader):
-        batch = hb.to_graph_batch()
+    for bi, item in enumerate(loader):
+        batch = item[1] if isinstance(item, tuple) else item.to_graph_batch()
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         (pred, true), inter = model.apply(variables, batch, False,
                                           mutable=["intermediates"])
