@@ -20,6 +20,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_multihost(coordinator: str = "", num_processes: int = 0,
+                   process_id: int = -1) -> None:
+    """Multi-host process-group bootstrap (SURVEY.md §2.10 'distributed comm
+    backend' row): jax.distributed.initialize wires all hosts of a pod slice
+    into one SPMD program; collectives then ride ICI/DCN automatically. On
+    single-host runs this is a no-op. Args default to the JAX coordinator
+    env vars (JAX_COORDINATOR_ADDRESS etc.)."""
+    import os
+
+    if num_processes <= 1 and not os.environ.get("JAX_COORDINATOR_ADDRESS") \
+            and not coordinator:
+        return
+    kw = {}
+    if coordinator:
+        kw["coordinator_address"] = coordinator
+    if num_processes > 0:
+        kw["num_processes"] = num_processes
+    if process_id >= 0:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
+
+
 def make_mesh(cfg=None, devices=None) -> Mesh:
     """Build a (data, model) mesh from cfg.parallel or all visible devices."""
     devices = devices if devices is not None else jax.devices()

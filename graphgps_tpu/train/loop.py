@@ -73,7 +73,9 @@ def make_steps(cfg, model, tx):
     def forward_loss(params, batch_stats, batch, rng, step):
         variables = {"params": params, "batch_stats": batch_stats}
         (pred, true), mut = model.apply(
-            variables, batch, True, step, rngs={"dropout": rng},
+            variables, batch, True, step,
+            rngs={"dropout": rng,
+                  "signflip": jax.random.fold_in(rng, 1)},
             mutable=["batch_stats"])
         mask = _loss_mask(cfg, batch, pred)
         loss = compute_loss(cfg, pred, true, mask)
@@ -121,7 +123,8 @@ def make_steps(cfg, model, tx):
 def init_state(cfg, model, example_batch: GraphBatch, seed: int,
                tx) -> TrainState:
     rng = jax.random.PRNGKey(seed)
-    variables = model.init({"params": rng, "dropout": rng}, example_batch, True)
+    variables = model.init({"params": rng, "dropout": rng, "signflip": rng},
+                           example_batch, True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     opt_state = tx.init(params)
