@@ -52,6 +52,7 @@ class GPSLayer(nn.Module):
     # bigbird
     bigbird_block_size: int = 3
     bigbird_num_random_blocks: int = 3
+    bigbird_attention_type: str = "block_sparse"  # or "original_full"
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x: jax.Array, e: Optional[jax.Array],
@@ -129,11 +130,16 @@ class GPSLayer(nn.Module):
                     self.performer_redraw_interval, m, Dh)
                 o = favor.favor_attention(q, k, v, kmask, proj)
             elif gt == "BigBird":
-                bmask = jnp.asarray(bigbird_block_mask(
-                    N, self.bigbird_block_size, self.bigbird_num_random_blocks,
-                    seed=self.layer_index))
-                bias = jnp.where(bmask, 0.0, -1e30)[None, None, :, :]
-                o = mha_core(q, k, v, kmask, bias=bias)
+                if self.bigbird_attention_type == "original_full":
+                    # dense O(N²) fallback (reference bigbird_layer.py:115-218)
+                    o = mha_core(q, k, v, kmask)
+                else:
+                    bmask = jnp.asarray(bigbird_block_mask(
+                        N, self.bigbird_block_size,
+                        self.bigbird_num_random_blocks,
+                        seed=self.layer_index))
+                    bias = jnp.where(bmask, 0.0, -1e30)[None, None, :, :]
+                    o = mha_core(q, k, v, kmask, bias=bias)
             else:
                 raise ValueError(f"unknown global model {gt}")
 

@@ -180,7 +180,8 @@ class GPSModel(nn.Module):
             layer_norm=cfg.gt.layer_norm, batch_norm=cfg.gt.batch_norm,
             log_attn_weights=bool(cfg.train.get("log_attn_weights", False)),
             bigbird_block_size=cfg.gt.bigbird.block_size,
-            bigbird_num_random_blocks=cfg.gt.bigbird.num_random_blocks)
+            bigbird_num_random_blocks=cfg.gt.bigbird.num_random_blocks,
+            bigbird_attention_type=cfg.gt.bigbird.attention_type)
         layer_cls = (nn.remat(GPSLayer, static_argnums=(3,))
                      if cfg.parallel.remat else GPSLayer)
         for li in range(cfg.gt.layers):
