@@ -44,7 +44,9 @@ def main():
         cfg.gt.layers = 10
         cfg.gt.dim_hidden = 64
         cfg.gt.n_heads = 4
+        cfg.gt.attn_dropout = 0.5         # keep the bench.py flagship recipe
         cfg.gnn.dim_inner = 64
+        cfg.optim.clip_grad_norm = True
         bs = 32 * n                       # weak scaling: fixed per-chip batch
         cfg.train.batch_size = bs
 

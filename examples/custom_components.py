@@ -10,10 +10,15 @@ from graphgps_tpu.registry import (register_config, register_head,
                                    register_loss, register_node_encoder)
 
 
-# 1. a config extender — adds keys before the tree is built
+# 1. a config extender — adds keys before the tree is built. Use CfgNode so
+# attribute access and YAML unknown-key validation work for the new group.
 @register_config("my_example")
 def my_example_cfg(cfg):
-    cfg.my_example = {"strength": 0.5}
+    from graphgps_tpu.config.config import CfgNode
+
+    node = CfgNode()
+    node.strength = 0.5
+    cfg.my_example = node
 
 
 # 2. a node encoder

@@ -130,16 +130,25 @@ class GPSLayer(nn.Module):
                     self.performer_redraw_interval, m, Dh)
                 o = favor.favor_attention(q, k, v, kmask, proj)
             elif gt == "BigBird":
+                rng = (self.make_rng("dropout")
+                       if train and self.attn_dropout > 0 else None)
+                drop = self.attn_dropout if train else 0.0
                 if self.bigbird_attention_type == "original_full":
                     # dense O(N²) fallback (reference bigbird_layer.py:115-218)
-                    o = mha_core(q, k, v, kmask)
-                else:
+                    o = mha_core(q, k, v, kmask, dropout_rate=drop,
+                                 dropout_rng=rng)
+                elif self.bigbird_attention_type == "block_sparse":
                     bmask = jnp.asarray(bigbird_block_mask(
                         N, self.bigbird_block_size,
                         self.bigbird_num_random_blocks,
                         seed=self.layer_index))
                     bias = jnp.where(bmask, 0.0, -1e30)[None, None, :, :]
-                    o = mha_core(q, k, v, kmask, bias=bias)
+                    o = mha_core(q, k, v, kmask, bias=bias,
+                                 dropout_rate=drop, dropout_rng=rng)
+                else:
+                    raise ValueError(
+                        f"unknown bigbird attention_type "
+                        f"{self.bigbird_attention_type!r}")
             else:
                 raise ValueError(f"unknown global model {gt}")
 

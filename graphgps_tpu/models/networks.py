@@ -63,6 +63,8 @@ def _make_node_encoder(name: str, dim_emb: int, cfg: CfgNode):
             num_heads=cfg.graphormer.num_heads, num_spatial_types=p.num_spatial_types,
             num_in_degrees=p.num_in_degrees, num_out_degrees=p.num_out_degrees,
             node_degrees_only=p.node_degrees_only)
+    if name in node_encoder_dict:  # custom registry entries (dim_emb-only ctor)
+        return node_encoder_dict[name](dim_emb=dim_emb)
     raise ValueError(f"unknown node encoder {name!r}")
 
 
@@ -280,8 +282,10 @@ class BigBirdNet(nn.Module):
                             global_model_type="BigBird",
                             num_heads=cfg.gt.n_heads, layer_index=li,
                             dropout=cfg.gt.dropout,
+                            attn_dropout=cfg.gt.attn_dropout,
                             bigbird_block_size=cfg.gt.bigbird.block_size,
                             bigbird_num_random_blocks=cfg.gt.bigbird.num_random_blocks,
+                            bigbird_attention_type=cfg.gt.bigbird.attention_type,
                             layer_norm=True, batch_norm=False)(
                                 batch, x, None, train, step)
         return _make_head(cfg, d, self.dim_out)(batch, x, train)
