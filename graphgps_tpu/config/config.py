@@ -169,6 +169,7 @@ def new_cfg() -> CfgNode:
         sampler="full_batch",
         log_attn_weights=False,   # harvest per-layer attention (analysis mode)
         device_loader=True,       # device-side batch assembly when possible
+        profiler=False,           # jax.profiler trace of one post-compile epoch
     )
 
     # --- model -----------------------------------------------------------------

@@ -138,13 +138,11 @@ class GPSLayer(nn.Module):
                     o = mha_core(q, k, v, kmask, dropout_rate=drop,
                                  dropout_rng=rng)
                 elif self.bigbird_attention_type == "block_sparse":
-                    bmask = jnp.asarray(bigbird_block_mask(
-                        N, self.bigbird_block_size,
-                        self.bigbird_num_random_blocks,
-                        seed=self.layer_index))
-                    bias = jnp.where(bmask, 0.0, -1e30)[None, None, :, :]
-                    o = mha_core(q, k, v, kmask, bias=bias,
-                                 dropout_rate=drop, dropout_rng=rng)
+                    from ..ops.pallas.splash_bigbird import bigbird_attention
+                    o = bigbird_attention(
+                        q, k, v, kmask, self.bigbird_block_size,
+                        self.bigbird_num_random_blocks, seed=self.layer_index,
+                        dropout_rate=drop, dropout_rng=rng)
                 else:
                     raise ValueError(
                         f"unknown bigbird attention_type "

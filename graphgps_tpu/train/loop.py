@@ -351,12 +351,25 @@ def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
     best_epoch = -1
     history: Dict[str, List[Dict]] = {s: [] for s in loaders}
     full_epoch_times = []
+    profiled = False
     for epoch in range(start_epoch, cfg.optim.max_epoch):
         lr = schedule.lr if plateau else schedule(epoch)
         set_lr(state.opt_state, lr)
+        # profile the first POST-compile epoch (jax.profiler device trace,
+        # SURVEY.md §5 tracing gap — view with tensorboard or xprof)
+        profile_this = (cfg.train.get("profiler", False) and not profiled
+                        and epoch == start_epoch + 1)
+        if profile_this:
+            jax.profiler.start_trace(os.path.join(run_dir, "profile"))
         t0 = time.time()
         state, rng = train_epoch(cfg, state, loaders["train"], loggers["train"],
                                  train_step, grad_step, apply_step, lr, rng, mesh)
+        if profile_this:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            profiled = True
+            log.info("profiler trace written to %s",
+                     os.path.join(run_dir, "profile"))
         full_epoch_times.append(time.time() - t0)
         stats = loggers["train"].write_epoch(epoch)
         history["train"].append(stats)
