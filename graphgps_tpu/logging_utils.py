@@ -57,6 +57,12 @@ class SplitLogger:
         self._time = 0.0
         self._custom: Dict[str, List[float]] = {}
 
+    def add_epoch_metrics(self, metrics: Dict[str, float]) -> None:
+        """Extra metrics merged into the next write_epoch (e.g. MRR/Hits@k
+        computed outside the per-iteration path)."""
+        for k, v in metrics.items():
+            self._custom.setdefault(k, []).append(float(v))
+
     def update_stats(self, pred: np.ndarray, true: np.ndarray, loss: float,
                      lr: float, time_used: float, batch_size: int,
                      **custom):

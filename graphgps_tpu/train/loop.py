@@ -287,11 +287,40 @@ def eval_epoch(cfg, state, loader: BatchLoader, logger: SplitLogger, eval_step,
     from ..data.prefetch import prefetch
 
     results = []
+    ranking = []   # (pred_2d_shape, edge_label, edge_label_mask) for MRR
     for real, batch in prefetch(loader, mesh):
         t0 = time.time()
         loss, pred, true, mask = eval_step(state, batch)
         results.append((pred, true, mask, loss, real, time.time() - t0))
+        lab = batch.extras.get("edge_label")
+        if lab is not None and lab.ndim == 2:
+            ranking.append((pred, lab, batch.extras.get("edge_label_mask")))
     _drain_pending(results, logger, 0.0)
+    if ranking:
+        logger.add_epoch_metrics(_ranking_metrics(ranking))
+
+
+def _ranking_metrics(ranking) -> Dict[str, float]:
+    """Per-graph MRR/Hits@k: each positive ranked against the SAME graph's
+    negatives (reference head/inductive_edge.py:115-155 semantics)."""
+    from ..metrics import mrr_hits
+
+    host = jax.device_get(ranking)
+    agg: Dict[str, List[float]] = {}
+    for pred, lab, lmask in host:
+        pred = np.asarray(pred).reshape(np.asarray(lab).shape)
+        lab = np.asarray(lab)
+        lm = (np.asarray(lmask).astype(bool) if lmask is not None
+              else np.ones_like(lab, dtype=bool))
+        for b in range(lab.shape[0]):
+            pos = pred[b][(lab[b] == 1) & lm[b]]
+            neg = pred[b][(lab[b] == 0) & lm[b]]
+            if pos.size == 0 or neg.size == 0:
+                continue
+            stats = mrr_hits(pos, np.tile(neg, (pos.size, 1)))
+            for k, v in stats.items():
+                agg.setdefault(k, []).append(v)
+    return {k: float(np.mean(v)) for k, v in agg.items() if v}
 
 
 def maybe_init_wandb(cfg):
