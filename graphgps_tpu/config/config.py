@@ -240,6 +240,8 @@ def new_cfg() -> CfgNode:
         edge_partition=False,         # edge-partitioned CSR mode
         mesh_shape=[],                # explicit [data, model]; [] = auto
         remat=False,                  # jax.checkpoint over GPS layers
+        scan_layers=False,            # nn.scan over GPS layers (1 trace per
+                                      # stack — much faster compiles)
         donate=True,
     )
 

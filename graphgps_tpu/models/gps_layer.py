@@ -56,7 +56,10 @@ class GPSLayer(nn.Module):
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x: jax.Array, e: Optional[jax.Array],
-                 train: bool, step: Optional[jax.Array] = None):
+                 train: bool, step: Optional[jax.Array] = None,
+                 layer_idx: Optional[jax.Array] = None):
+        # ``layer_idx``: traced per-layer index used under nn.scan (where the
+        # static self.layer_index is shared by every layer of the stack)
         h_in = x
         d = self.dim_h
         outs = []
@@ -124,7 +127,8 @@ class GPSLayer(nn.Module):
             elif gt == "Performer":
                 m = self.performer_nb_features or int(
                     Dh * np.log(max(Dh, 2)))
-                key = jax.random.PRNGKey(7919 + 31 * self.layer_index)
+                idx = layer_idx if layer_idx is not None else self.layer_index
+                key = jax.random.fold_in(jax.random.PRNGKey(7919), idx)
                 proj = favor.draw_projection(
                     key, step if train else None,
                     self.performer_redraw_interval, m, Dh)
@@ -172,3 +176,23 @@ class GPSLayer(nn.Module):
         # zero padded slots so they never leak into aggregations
         h = jnp.where(batch.node_mask[:, None], h, 0.0)
         return h, e
+
+
+class GPSScanBody(nn.Module):
+    """nn.scan body: one GPSLayer per step with (x, e) as the carry.
+
+    Tracing the layer ONCE instead of L times cuts XLA compile time ~L-fold
+    for deep stacks (compiles through this environment's remote-compile
+    tunnel cost minutes). The per-layer index rides the scan input so
+    Performer projection keys stay layer-distinct; BigBird (host-side static
+    random plans keyed by layer) requires the unrolled path.
+    """
+
+    layer_kwargs: dict
+
+    @nn.compact
+    def __call__(self, carry, batch, train, step, idx):
+        x, e = carry
+        x, e = GPSLayer(layer_index=0, **self.layer_kwargs)(
+            batch, x, e, train, step, layer_idx=idx)
+        return (x, e), None

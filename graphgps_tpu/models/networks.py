@@ -184,10 +184,28 @@ class GPSModel(nn.Module):
             bigbird_block_size=cfg.gt.bigbird.block_size,
             bigbird_num_random_blocks=cfg.gt.bigbird.num_random_blocks,
             bigbird_attention_type=cfg.gt.bigbird.attention_type)
-        layer_cls = (nn.remat(GPSLayer, static_argnums=(3,))
-                     if cfg.parallel.remat else GPSLayer)
-        for li in range(cfg.gt.layers):
-            x, e = layer_cls(layer_index=li, **layer_common)(batch, x, e, train, step)
+        use_scan = (cfg.parallel.get("scan_layers", False)
+                    and global_type != "BigBird")
+        if use_scan:
+            from .gps_layer import GPSScanBody
+            body = GPSScanBody
+            if cfg.parallel.remat:
+                body = nn.remat(body, static_argnums=(3,))
+            Scan = nn.scan(
+                body,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True,
+                            "signflip": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, 0),
+                length=cfg.gt.layers)
+            (x, e), _ = Scan(layer_kwargs=layer_common)(
+                (x, e), batch, train, step, jnp.arange(cfg.gt.layers))
+        else:
+            layer_cls = (nn.remat(GPSLayer, static_argnums=(3,))
+                         if cfg.parallel.remat else GPSLayer)
+            for li in range(cfg.gt.layers):
+                x, e = layer_cls(layer_index=li, **layer_common)(
+                    batch, x, e, train, step)
         return _make_head(cfg, d, self.dim_out)(batch, x, train)
 
 
