@@ -261,6 +261,7 @@ def train_epoch(cfg, state, loaders_train: BatchLoader, logger: SplitLogger,
     n_accum = 0
     bs_latest = state.batch_stats
     results = []
+    t_epoch = time.time()
     for it, (real, batch) in enumerate(prefetch(loaders_train, mesh)):
         t0 = time.time()
         rng, sub = jax.random.split(rng)
@@ -278,6 +279,12 @@ def train_epoch(cfg, state, loaders_train: BatchLoader, logger: SplitLogger,
         results.append((pred, true, mask, loss, real, time.time() - t0))
     if accum > 1 and n_accum:
         state = apply_step(state, zero_grads, bs_latest, n_accum)
+    # steps are dispatched asynchronously, so per-iter dts above measure only
+    # dispatch; report true wall time spread uniformly over the iterations
+    jax.block_until_ready(state.params)
+    wall = time.time() - t_epoch
+    n = max(len(results), 1)
+    results = [(p, t, m, l, r, wall / n) for (p, t, m, l, r, _) in results]
     _drain_pending(results, logger, lr)
     return state, rng
 
