@@ -243,7 +243,18 @@ def compute_task_metrics(task_type: str, pred: np.ndarray, true: np.ndarray,
         out["auc"] = ogb_rocauc_multilabel(pred, true)
     elif task_type == "subtoken_prediction":
         lab = pred.argmax(axis=-1)  # (B, seq)
-        out["f1"] = subtoken_f1([list(r) for r in lab], [list(r) for r in true.astype(np.int64)])
+        eos = pred.shape[-1] - 1    # EOS is the last vocab id (code2_utils)
+
+        def strip(row):
+            toks = []
+            for t in row:
+                if int(t) == eos:
+                    break
+                toks.append(int(t))
+            return toks
+
+        out["f1"] = subtoken_f1([strip(r) for r in lab],
+                                [strip(r) for r in true.astype(np.int64)])
     else:  # multiclass
         if pred.ndim > 1 and pred.shape[-1] > 1:
             label = pred.argmax(axis=-1)
