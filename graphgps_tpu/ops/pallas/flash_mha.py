@@ -26,6 +26,17 @@ _FLASH_MIN_N = int(os.environ.get("GGPS_FLASH_MIN_N", 256))
 _LANE = 128
 
 
+def pad_head_dim(q, k, v):
+    """Zero-pad Dh to the 128-lane minimum (exact: padded q/k lanes contribute
+    0 to logits; padded v lanes are sliced off). Returns (q, k, v, orig_dh)."""
+    dh = q.shape[-1]
+    dh_pad = max(_LANE, ((dh + _LANE - 1) // _LANE) * _LANE)
+    if dh_pad != dh:
+        pad = [(0, 0), (0, 0), (0, 0), (0, dh_pad - dh)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    return q, k, v, dh
+
+
 def flash_available(n: int, dh: int) -> bool:
     return (n >= _FLASH_MIN_N and n % _LANE == 0
             and jax.default_backend() == "tpu")
@@ -42,12 +53,8 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, key_mask: jax.Array,
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds, flash_attention)
 
-    B, H, N, Dh = q.shape
+    q, k, v, Dh = pad_head_dim(q, k, v)
     scale = 1.0 / float(Dh) ** 0.5
-    dh_pad = max(_LANE, ((Dh + _LANE - 1) // _LANE) * _LANE)
-    if dh_pad != Dh:
-        pad = [(0, 0), (0, 0), (0, 0), (0, dh_pad - Dh)]
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     ids = key_mask.astype(jnp.int32)  # pad→0, real→1
     seg = SegmentIds(q=ids, kv=ids)
     out = flash_attention(q, k, v, ab=bias, segment_ids=seg, causal=False,

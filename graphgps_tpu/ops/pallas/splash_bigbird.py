@@ -15,7 +15,6 @@ real TPU; the dense-mask path otherwise (molecular N — dense is optimal).
 """
 from __future__ import annotations
 
-import functools
 import os
 
 import jax
@@ -23,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bigbird import bigbird_block_mask
+from .flash_mha import pad_head_dim
 
 # Dense-masked MHA matches splash speed up to ~1k nodes on v5e (measured:
 # 1.13ms dense vs 1.34ms splash at N=1024, B=4, H=4); splash wins on MEMORY
@@ -58,12 +58,9 @@ def splash_bigbird(q, k, v, key_mask, block_size: int, num_random_blocks: int,
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk)
 
-    B, H, N, Dh = q.shape
+    B, H, N, _ = q.shape
+    q, k, v, Dh = pad_head_dim(q, k, v)
     scale = 1.0 / float(Dh) ** 0.5
-    dh_pad = max(_LANE, ((Dh + _LANE - 1) // _LANE) * _LANE)
-    if dh_pad != Dh:
-        pad = [(0, 0), (0, 0), (0, 0), (0, dh_pad - Dh)]
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     kernel = _make_kernel(N, H, block_size, num_random_blocks, seed)
     ids = key_mask.astype(jnp.int32)
     out = jax.vmap(lambda qq, kk, vv, ii: kernel(

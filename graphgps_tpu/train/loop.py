@@ -324,7 +324,7 @@ def _ranking_metrics(ranking) -> Dict[str, float]:
             neg = pred[b][(lab[b] == 0) & lm[b]]
             if pos.size == 0 or neg.size == 0:
                 continue
-            stats = mrr_hits(pos, np.tile(neg, (pos.size, 1)))
+            stats = mrr_hits(pos, np.broadcast_to(neg, (pos.size, neg.size)))
             for k, v in stats.items():
                 agg.setdefault(k, []).append(v)
     return {k: float(np.mean(v)) for k, v in agg.items() if v}
