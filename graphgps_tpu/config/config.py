@@ -152,6 +152,9 @@ def new_cfg() -> CfgNode:
         shuffle_split=True,
         # static shape buckets (TPU): 0 = auto from dataset maxima
         max_nodes=0, max_edges=0,
+        # device-batched PE precompute (pe/device.py) when the enabled types
+        # support it; host numpy engine otherwise
+        posenc_device=False,
         # synthetic generator knobs (hermetic runs without network egress)
         synthetic_fallback=True,
         synth_num_graphs=1200, synth_min_nodes=10, synth_max_nodes=36,

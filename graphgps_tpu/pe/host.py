@@ -191,12 +191,25 @@ def graphormer_bias(g: Graph, num_spatial_types: int,
 
 def compute_posenc(graphs: List[Graph], cfg) -> None:
     """Apply all enabled posenc_* computations in place (the analog of the
-    reference's compute_posenc_stats loop, master_loader.py:206-216)."""
+    reference's compute_posenc_stats loop, master_loader.py:206-216).
+
+    With ``cfg.dataset.posenc_device`` (default on), the device-batched engine
+    (pe/device.py) handles RWSE/HKdiagSE/LapPE buckets in a few jitted calls;
+    this host loop covers the rest and serves as the fallback."""
     from ..config.config import enabled_posenc, parse_times_func
 
     names = enabled_posenc(cfg)
     if not names:
         return
+    if cfg.dataset.get("posenc_device", False):
+        from .device import compute_posenc_device
+        try:
+            if compute_posenc_device(graphs, cfg):
+                return
+        except Exception as e:  # fall back to the host engine
+            import logging
+            logging.getLogger("graphgps_tpu").warning(
+                "device PE precompute failed (%s) — host fallback", e)
     for g in graphs:
         for name in names:
             pcfg = cfg[f"posenc_{name}"]

@@ -1,0 +1,76 @@
+"""Device-batched PE precompute pipeline vs the host engine on real Graph lists."""
+import numpy as np
+import pytest
+
+import graphgps_tpu.data.datasets  # noqa: F401
+from graphgps_tpu.config.config import new_cfg
+from graphgps_tpu.data.datasets.base import load_dataset
+from graphgps_tpu.pe.device import compute_posenc_device
+from graphgps_tpu.pe.host import compute_posenc
+
+
+def _graphs(cfg):
+    import copy
+    ds = load_dataset(cfg)
+    return ds.train[:24]
+
+
+def test_device_pipeline_matches_host_rwse_lappe():
+    cfg = new_cfg()
+    cfg.dataset.synth_num_graphs = 40
+    cfg.dataset.synth_max_nodes = 18
+    cfg.posenc_RWSE.enable = True
+    cfg.posenc_RWSE.kernel.times = [1, 2, 3, 4]
+    cfg.posenc_LapPE.enable = True
+    cfg.posenc_LapPE.eigen.max_freqs = 6
+
+    gs_host = _graphs(cfg)
+    gs_dev = _graphs(cfg)  # same deterministic generator → identical graphs
+    compute_posenc(gs_host, cfg)   # host engine (posenc_device off by default)
+    ok = compute_posenc_device(gs_dev, cfg, batch_graphs=8)
+    assert ok
+    for gh, gd in zip(gs_host, gs_dev):
+        np.testing.assert_allclose(gd.pe["pestat_RWSE"], gh.pe["pestat_RWSE"],
+                                   atol=1e-4)
+        # eigvalues must match; eigvectors match up to sign per column, but
+        # only NON-degenerate columns (within a degenerate eigenspace any
+        # orthonormal basis is a valid answer — both engines are "right")
+        ev_h = gh.extras["EigVals"].reshape(-1)
+        ev_d = gd.extras["EigVals"].reshape(-1)
+        np.testing.assert_allclose(np.nan_to_num(ev_d), np.nan_to_num(ev_h),
+                                   atol=1e-4)
+        vh, vd = gh.pe["EigVecs"], gd.pe["EigVecs"]
+        assert vh.shape == vd.shape
+        n_real = int((~np.isnan(ev_h)).sum())
+        for c in range(vh.shape[1]):
+            if np.isnan(ev_h[c]) or c == n_real - 1:
+                # skip the last kept column: its partner beyond the top-k cut
+                # may be degenerate with it, which we can't check from here
+                continue
+            gap = min([abs(ev_h[c] - ev_h[j]) for j in range(len(ev_h))
+                       if j != c and not np.isnan(ev_h[j])] or [1.0])
+            if gap < 1e-3:
+                continue  # degenerate subspace — basis not comparable
+            a, b = vd[:, c], vh[:, c]
+            err = min(np.nanmax(np.abs(a - b)), np.nanmax(np.abs(a + b)))
+            assert err < 1e-3, (c, err)
+
+
+def test_device_pipeline_declines_unsupported():
+    cfg = new_cfg()
+    cfg.dataset.synth_num_graphs = 8
+    cfg.posenc_ElstaticSE.enable = True
+    gs = _graphs(cfg)
+    assert compute_posenc_device(gs, cfg) is False
+
+
+def test_flag_routes_through_load_dataset():
+    cfg = new_cfg()
+    cfg.dataset.synth_num_graphs = 16
+    cfg.dataset.synth_max_nodes = 12
+    cfg.dataset.posenc_device = True
+    cfg.posenc_RWSE.enable = True
+    cfg.posenc_RWSE.kernel.times = [1, 2]
+    ds = load_dataset(cfg)
+    assert "pestat_RWSE" in ds.train[0].pe
+    assert ds.train[0].pe["pestat_RWSE"].shape[1] == 2
