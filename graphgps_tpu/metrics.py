@@ -200,16 +200,13 @@ def mrr_hits(pos_scores: np.ndarray, neg_scores: np.ndarray,
 # Subtoken sequence F1 (reference logger.py:173-187, ogbg-code2 evaluator)
 
 def subtoken_f1(pred_seqs, true_seqs) -> float:
-    """F1 between predicted and true token multisets per sample, averaged."""
+    """Set-based F1 between predicted and true token sets per sample, averaged
+    (the OGB code2 evaluator's convention: reference feeds raw target strings,
+    so a predicted '__UNK__' can never match — see compute_task_metrics)."""
     f1s = []
     for p, t in zip(pred_seqs, true_seqs):
-        pset, tset = list(p), list(t)
-        tp = 0
-        t_remaining = list(tset)
-        for tok in pset:
-            if tok in t_remaining:
-                tp += 1
-                t_remaining.remove(tok)
+        pset, tset = set(p), set(t)
+        tp = len(pset & tset)
         prec = tp / len(pset) if pset else 0.0
         rec = tp / len(tset) if tset else 0.0
         f1s.append(2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0)
@@ -243,18 +240,24 @@ def compute_task_metrics(task_type: str, pred: np.ndarray, true: np.ndarray,
         out["auc"] = ogb_rocauc_multilabel(pred, true)
     elif task_type == "subtoken_prediction":
         lab = pred.argmax(axis=-1)  # (B, seq)
-        eos = pred.shape[-1] - 1    # EOS is the last vocab id (code2_utils)
+        eos = pred.shape[-1] - 1    # EOS / UNK are the last two vocab ids
+        unk = pred.shape[-1] - 2    # (code2_utils.get_vocab_mapping)
 
-        def strip(row):
+        def strip(row, is_pred):
             toks = []
             for t in row:
-                if int(t) == eos:
+                t = int(t)
+                if t == eos:
                     break
-                toks.append(int(t))
+                # a predicted UNK can never match a real target token (the
+                # reference evaluates against RAW target strings); keep it as
+                # a distinct sentinel so it still costs precision
+                toks.append("UNK_PRED" if (is_pred and t == unk) else t)
             return toks
 
-        out["f1"] = subtoken_f1([strip(r) for r in lab],
-                                [strip(r) for r in true.astype(np.int64)])
+        out["f1"] = subtoken_f1([strip(r, True) for r in lab],
+                                [strip(r, False)
+                                 for r in true.astype(np.int64)])
     else:  # multiclass
         if pred.ndim > 1 and pred.shape[-1] > 1:
             label = pred.argmax(axis=-1)

@@ -190,7 +190,9 @@ class GPSModel(nn.Module):
             from .gps_layer import GPSScanBody
             body = GPSScanBody
             if cfg.parallel.remat:
-                body = nn.remat(body, static_argnums=(3,))
+                # GPSScanBody.__call__(carry, batch, train, step, idx):
+                # train (the only static bool) is argument index 2
+                body = nn.remat(body, static_argnums=(2,))
             Scan = nn.scan(
                 body,
                 variable_axes={"params": 0, "batch_stats": 0},

@@ -24,14 +24,12 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=64)
-def bigbird_block_mask(n_tokens: int, block_size: int, num_random_blocks: int,
-                       seed: int = 0, num_global_blocks: int = 2,
-                       window: int = 3) -> np.ndarray:
-    """(N, N) bool mask: True where attention is allowed.
-
-    Pattern = first ``num_global_blocks`` block-rows/cols global + ``window``-block
-    sliding diagonal + ``num_random_blocks`` random key blocks per query block.
-    """
+def _block_plan(n_tokens: int, block_size: int, num_random_blocks: int,
+                seed: int = 0, num_global_blocks: int = 2,
+                window: int = 3) -> np.ndarray:
+    """(nb, nb) bool BLOCK plan: first ``num_global_blocks`` block-rows/cols
+    global + ``window``-block sliding diagonal + ``num_random_blocks`` random
+    key blocks per query block (seeded, static)."""
     nb = -(-n_tokens // block_size)
     bm = np.zeros((nb, nb), dtype=bool)
     g = num_global_blocks
@@ -51,5 +49,17 @@ def bigbird_block_mask(n_tokens: int, block_size: int, num_random_blocks: int,
                               replace=False)
             for p in pick:
                 bm[i, candidates[p]] = True
+    bm.setflags(write=False)
+    return bm
+
+
+@functools.lru_cache(maxsize=64)
+def bigbird_block_mask(n_tokens: int, block_size: int, num_random_blocks: int,
+                       seed: int = 0, num_global_blocks: int = 2,
+                       window: int = 3) -> np.ndarray:
+    """(N, N) bool mask: True where attention is allowed (dense expansion of
+    the block plan — for the dense-masked execution path at moderate N)."""
+    bm = _block_plan(n_tokens, block_size, num_random_blocks, seed,
+                     num_global_blocks, window)
     dense = np.kron(bm, np.ones((block_size, block_size), dtype=bool))
     return dense[:n_tokens, :n_tokens]

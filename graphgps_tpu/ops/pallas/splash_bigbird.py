@@ -33,13 +33,49 @@ _SPLASH_MIN_N = int(os.environ.get("GGPS_SPLASH_MIN_N", 2048))
 _LANE = 128
 
 
+def _lazy_bigbird_mask(n: int, block_size: int, num_random_blocks: int,
+                       seed: int):
+    """A splash Mask that expands the (nb, nb) BLOCK plan lazily per indexed
+    tile, so host memory stays O((N/block)²) instead of the dense O(N²) a
+    NumpyMask would need at very large N."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_mask as sm)
+
+    from ..bigbird import _block_plan
+
+    bm = _block_plan(n, block_size, num_random_blocks, seed)  # (nb, nb) bool
+
+    class BigBirdMask(sm.Mask):
+        @property
+        def shape(self):
+            return (n, n)
+
+        def __getitem__(self, idx):
+            rows, cols = idx
+            r = np.arange(n)[rows] // block_size
+            c = np.arange(n)[cols] // block_size
+            return bm[np.ix_(r, c)]
+
+        def __eq__(self, other):
+            return (isinstance(other, BigBirdMask)
+                    and other.shape == self.shape
+                    and np.array_equal(getattr(other, "_bm", None), bm))
+
+        def __hash__(self):
+            return hash((type(self).__name__, n, block_size, bm.tobytes()))
+
+        _bm = bm
+
+    return BigBirdMask()
+
+
 def _make_kernel(n: int, num_heads: int, block_size: int,
                  num_random_blocks: int, seed: int):
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk, splash_attention_mask as sm)
 
-    m = bigbird_block_mask(n, block_size, num_random_blocks, seed=seed)
-    mask = sm.MultiHeadMask([sm.NumpyMask(np.asarray(m))] * num_heads)
+    m = _lazy_bigbird_mask(n, block_size, num_random_blocks, seed)
+    mask = sm.MultiHeadMask([m] * num_heads)
     return sk.make_splash_mha(mask, head_shards=1, q_seq_shards=1)
 
 

@@ -193,9 +193,10 @@ def compute_posenc(graphs: List[Graph], cfg) -> None:
     """Apply all enabled posenc_* computations in place (the analog of the
     reference's compute_posenc_stats loop, master_loader.py:206-216).
 
-    With ``cfg.dataset.posenc_device`` (default on), the device-batched engine
-    (pe/device.py) handles RWSE/HKdiagSE/LapPE buckets in a few jitted calls;
-    this host loop covers the rest and serves as the fallback."""
+    With ``cfg.dataset.posenc_device=True`` (default False — the host engine
+    wins below million-graph scale, see docs/RESULTS.md), the device-batched
+    engine (pe/device.py) handles RWSE/HKdiagSE/LapPE buckets in a few jitted
+    calls; this host loop covers the rest and serves as the fallback."""
     from ..config.config import enabled_posenc, parse_times_func
 
     names = enabled_posenc(cfg)

@@ -160,9 +160,11 @@ def _drain_pending(pending, logger: SplitLogger, lr: float):
     sync per step (the reference syncs every iteration,
     custom_train.py:30-31,40-46), and pulling the whole epoch as a single
     pytree amortizes the device→host round-trip latency once per epoch.
+    Returns the host-side (pred, true, mask, loss) tuples so callers can
+    compute further metrics without a second transfer.
     """
     if not pending:
-        return
+        return []
     device_part = [(p, t, m, l) for p, t, m, l, _, _ in pending]
     host_part = jax.device_get(device_part)
     for (pred, true, mask, loss), (_, _, _, _, real, dt) in zip(host_part,
@@ -175,6 +177,7 @@ def _drain_pending(pending, logger: SplitLogger, lr: float):
         logger.update_stats(pred[m], true[m] if true is not None else None,
                             float(loss), lr, dt, real)
     pending.clear()
+    return host_part
 
 
 # ---------------------------------------------------------------------------------
@@ -294,28 +297,38 @@ def eval_epoch(cfg, state, loader: BatchLoader, logger: SplitLogger, eval_step,
     from ..data.prefetch import prefetch
 
     results = []
-    ranking = []   # (pred_2d_shape, edge_label, edge_label_mask) for MRR
+    ranking = []   # (batch_index, edge_label, edge_label_mask) for MRR
+    t_epoch = time.time()
     for real, batch in prefetch(loader, mesh):
         t0 = time.time()
         loss, pred, true, mask = eval_step(state, batch)
         results.append((pred, true, mask, loss, real, time.time() - t0))
         lab = batch.extras.get("edge_label")
         if lab is not None and lab.ndim == 2:
-            ranking.append((pred, lab, batch.extras.get("edge_label_mask")))
-    _drain_pending(results, logger, 0.0)
+            ranking.append((len(results) - 1, lab,
+                            batch.extras.get("edge_label_mask")))
+    # report true wall time (async dispatch — see train_epoch)
+    if results:
+        jax.block_until_ready(results[-1][0])
+    wall = time.time() - t_epoch
+    n = max(len(results), 1)
+    results = [(p, t, m, l, r, wall / n) for (p, t, m, l, r, _) in results]
+    host_results = _drain_pending(results, logger, 0.0)
     if ranking:
-        logger.add_epoch_metrics(_ranking_metrics(ranking))
+        logger.add_epoch_metrics(_ranking_metrics(ranking, host_results))
 
 
-def _ranking_metrics(ranking) -> Dict[str, float]:
+def _ranking_metrics(ranking, host_results) -> Dict[str, float]:
     """Per-graph MRR/Hits@k: each positive ranked against the SAME graph's
-    negatives (reference head/inductive_edge.py:115-155 semantics)."""
+    negatives (reference head/inductive_edge.py:115-155 semantics). Reuses
+    the predictions already drained to host; only the small label arrays are
+    transferred here."""
     from ..metrics import mrr_hits
 
-    host = jax.device_get(ranking)
+    labels_host = jax.device_get([(lab, lm) for _, lab, lm in ranking])
     agg: Dict[str, List[float]] = {}
-    for pred, lab, lmask in host:
-        pred = np.asarray(pred).reshape(np.asarray(lab).shape)
+    for (ri, _, _), (lab, lmask) in zip(ranking, labels_host):
+        pred = np.asarray(host_results[ri][0]).reshape(np.asarray(lab).shape)
         lab = np.asarray(lab)
         lm = (np.asarray(lmask).astype(bool) if lmask is not None
               else np.ones_like(lab, dtype=bool))
@@ -392,9 +405,12 @@ def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
         lr = schedule.lr if plateau else schedule(epoch)
         set_lr(state.opt_state, lr)
         # profile the first POST-compile epoch (jax.profiler device trace,
-        # SURVEY.md §5 tracing gap — view with tensorboard or xprof)
+        # SURVEY.md §5 tracing gap — view with tensorboard or xprof); with a
+        # single remaining epoch, profile it (compile noise beats no trace)
+        single_epoch = cfg.optim.max_epoch - start_epoch == 1
         profile_this = (cfg.train.get("profiler", False) and not profiled
-                        and epoch == start_epoch + 1)
+                        and (epoch == start_epoch + 1
+                             or (single_epoch and epoch == start_epoch)))
         if profile_this:
             jax.profiler.start_trace(os.path.join(run_dir, "profile"))
         t0 = time.time()

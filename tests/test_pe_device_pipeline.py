@@ -64,7 +64,19 @@ def test_device_pipeline_declines_unsupported():
     assert compute_posenc_device(gs, cfg) is False
 
 
-def test_flag_routes_through_load_dataset():
+def test_flag_routes_through_load_dataset(monkeypatch):
+    import graphgps_tpu.pe.device as dev_mod
+
+    calls = {}
+    real = dev_mod.compute_posenc_device
+
+    def spy(graphs, cfg, batch_graphs=256):
+        calls["n"] = calls.get("n", 0) + 1
+        out = real(graphs, cfg, batch_graphs)
+        calls["ok"] = out
+        return out
+
+    monkeypatch.setattr(dev_mod, "compute_posenc_device", spy)
     cfg = new_cfg()
     cfg.dataset.synth_num_graphs = 16
     cfg.dataset.synth_max_nodes = 12
@@ -72,5 +84,8 @@ def test_flag_routes_through_load_dataset():
     cfg.posenc_RWSE.enable = True
     cfg.posenc_RWSE.kernel.times = [1, 2]
     ds = load_dataset(cfg)
+    # the device engine must have actually run AND succeeded (the host
+    # fallback fills the same keys, so shape checks alone can't tell)
+    assert calls.get("n", 0) >= 1 and calls.get("ok") is True
     assert "pestat_RWSE" in ds.train[0].pe
     assert ds.train[0].pe["pestat_RWSE"].shape[1] == 2
