@@ -88,13 +88,34 @@ class DeviceArenas:
                 np.concatenate([g.pe[k] for g in graphs], axis=0))
 
         self.y = None
+        self.y_node = None
         self.y_graph_level = y_graph_level
         if g0.y is not None and y_graph_level:
             ys = [np.atleast_1d(np.asarray(g.y)) for g in graphs]
             self.y = jnp.asarray(np.stack(ys))
         elif g0.y is not None:
             self.y_node = jnp.asarray(
-                np.concatenate([np.asarray(g.y) for g in graphs], axis=0))
+                np.concatenate([np.asarray(g.y).reshape(g.num_nodes, -1)
+                                for g in graphs], axis=0))
+
+        # per-graph extras arenas: padded to the per-key batch maximum, with
+        # node-sized axes padded to the node cap later in assemble's view
+        # (they are stored at the global max already). 'edge_label' also gets
+        # a validity-mask arena (host-collation convention, batching.py).
+        self.extras: Dict[str, jnp.ndarray] = {}
+        for k, v0 in g0.extras.items():
+            shapes = [g.extras[k].shape for g in graphs]
+            shp = tuple(max(s[d] for s in shapes) for d in range(v0.ndim))
+            buf = np.zeros((G, *shp), dtype=v0.dtype)
+            for i, g in enumerate(graphs):
+                vv = g.extras[k]
+                buf[(i, *map(lambda s: slice(0, s), vv.shape))] = vv
+            self.extras[k] = jnp.asarray(buf)
+            if k == "edge_label":
+                m = np.zeros((G, shp[0]), dtype=bool)
+                for i, g in enumerate(graphs):
+                    m[i, :g.extras[k].shape[0]] = True
+                self.extras["edge_label_mask"] = jnp.asarray(m)
         self.num_graphs_total = G
         self.has_extras = bool(g0.extras)
 
@@ -143,11 +164,24 @@ def assemble(arenas_tree, sel: jax.Array, max_nodes: int, num_graphs: int):
         y = a["y"][sel]
         if jnp.issubdtype(y.dtype, jnp.floating):
             y = jnp.where(gmask[(...,) + (None,) * (y.ndim - 1)], y, jnp.nan)
+    elif a.get("y_node") is not None:
+        yv = a["y_node"][node_idx.reshape(-1)]
+        y = jnp.where(node_mask.reshape(-1)[(...,) + (None,) * (yv.ndim - 1)],
+                      yv, 0)
+        if yv.shape[-1] == 1:
+            y = y[..., 0]
+
+    extras = {}
+    for key, arena in a.get("extras", {}).items():
+        v = arena[sel]
+        if key == "edge_label_mask":
+            v = jnp.logical_and(v, gmask[:, None])
+        extras[key] = v
 
     return GraphBatch(
         node_feat=nf, edge_feat=ef, senders=snd, receivers=rcv,
         node_mask=node_mask.reshape(-1), edge_mask=emask.reshape(-1),
-        graph_mask=gmask, y=y, pe=pe, extras={},
+        graph_mask=gmask, y=y, pe=pe, extras=extras,
         num_graphs=B, max_nodes=Nmax)
 
 
@@ -177,7 +211,8 @@ class DeviceLoader:
         self._tree = dict(node_off=a.node_off, n_count=a.n_count,
                           e_count=a.e_count, node_feat=a.node_feat,
                           senders=a.senders, receivers=a.receivers,
-                          edge_feat=a.edge_feat, pe=a.pe, y=a.y)
+                          edge_feat=a.edge_feat, pe=a.pe, y=a.y,
+                          y_node=a.y_node, extras=a.extras)
 
     def __len__(self) -> int:
         n = self.arenas.num_graphs_total

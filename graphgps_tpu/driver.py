@@ -100,10 +100,13 @@ def create_loaders(cfg: CfgNode, splits: DatasetSplits,
     max_edges = cfg.dataset.max_edges or round_up(bs * e_cap, 128)
     from .data.packed import PackedLoader
     # device-side assembly (one arena upload per split, per-step index-only
-    # transfer) when the task shape allows; host packed collation otherwise
+    # transfer) when the task shape allows; host packed collation otherwise.
+    # Node-sized extras (Graphormer spatial bias, complete_edge_index) need
+    # host collation's Nmax-padding — those stay on the packed path.
     g0 = splits.train[0]
-    use_device = (cfg.train.get("device_loader", True) and y_graph_level
-                  and not g0.extras)
+    _dev_ok_extras = {"edge_label", "edge_label_index", "edge_label_mask"}
+    use_device = (cfg.train.get("device_loader", True)
+                  and set(g0.extras) <= _dev_ok_extras)
     if use_device:
         from .data.device_loader import DeviceLoader as LoaderCls
     else:
