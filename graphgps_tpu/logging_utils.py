@@ -37,6 +37,7 @@ class SplitLogger:
         self.thresh = thresh
         self.precision = precision
         self.wandb_run = wandb_run
+        self.params = 0   # model param count, set by the train loop
         self._tb = None
         if tensorboard:
             try:
@@ -82,7 +83,7 @@ class SplitLogger:
         stats: Dict[str, float] = dict(
             epoch=cur_epoch,
             loss=round(self._loss / max(self._size, 1), self.precision + 3),
-            lr=self._lr, params=0,
+            lr=self._lr, params=int(self.params),
             time_iter=round(self._time / max(self._iters, 1), self.precision + 3),
             time_epoch=round(self._time, self.precision + 3),
         )

@@ -388,6 +388,8 @@ def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
                               tensorboard=cfg.tensorboard_each_run,
                               wandb_run=wandb_run)
                for s in loaders}
+    for lg in loggers.values():
+        lg.params = cfg.share.get("params", 0)
     start_epoch = 0
     if cfg.train.auto_resume:
         state, start_epoch, sched_state = load_ckpt(run_dir, state,
