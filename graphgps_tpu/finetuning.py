@@ -125,7 +125,12 @@ HEAD_PREFIXES = ("SANGraphHead", "GNNGraphHead", "InductiveNodeHead",
 def init_model_from_pretrained(state, cfg):
     """Load pretrained params/batch_stats into a fresh TrainState
     (reference finetuning.py:99-152). Optionally freeze all non-head params
-    (freezing is applied by the train loop through the returned mask)."""
+    (freezing is applied by the train loop through the returned mask).
+
+    NOTE: parallel.scan_layers changes the parameter tree (stacked
+    ScanGPSScanBody vs per-layer GPSLayer_i); pretrained checkpoints only load
+    into a model built with the SAME scan_layers setting — mismatched leaves
+    are kept at their fresh init with a logged warning."""
     import orbax.checkpoint as ocp
 
     ckpt_path = get_final_pretrained_ckpt(

@@ -183,6 +183,16 @@ def agg_runs(out_dir: str, metric_best: str = "auto",
         with open(os.path.join(agg_dir, "stats.json"), "w") as f:
             for e in epoch_stats:
                 f.write(json.dumps(e) + "\n")
+        # TensorBoard for aggregates (reference agg_runs.py:150-156)
+        try:
+            from tensorboardX import SummaryWriter
+            with SummaryWriter(agg_dir) as tb:
+                for e in epoch_stats:
+                    for k, v in e.items():
+                        if isinstance(v, (int, float)) and k != "epoch":
+                            tb.add_scalar(k, v, int(e.get("epoch", 0)))
+        except Exception:
+            pass
         # best-epoch stats: each seed contributes its own best val epoch's stats
         best_list = []
         for r, be in zip(runs, best_epochs):

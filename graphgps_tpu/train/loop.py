@@ -447,10 +447,12 @@ def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
                               schedule.state_dict() if plateau else None)
                     if cfg.train.ckpt_clean:
                         clean_ckpt(run_dir, epoch)
+            eta = (np.mean(full_epoch_times[1:] or full_epoch_times)
+                   * (cfg.optim.max_epoch - epoch - 1))
             log.info("epoch %d lr %.2e %s %s=%.5f (best %.5f @ %d) "
-                     "epoch_time %.2fs", epoch, lr,
+                     "epoch_time %.2fs eta %.0fs", epoch, lr,
                      "val" if "val" in loaders else "train", metric, cur,
-                     best_val, best_epoch, full_epoch_times[-1])
+                     best_val, best_epoch, full_epoch_times[-1], eta)
         if cfg.train.enable_ckpt and not cfg.train.ckpt_best \
                 and is_ckpt_epoch(cfg, epoch):
             save_ckpt(run_dir, state, epoch,

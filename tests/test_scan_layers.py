@@ -65,3 +65,10 @@ def test_scan_bigbird_falls_back_to_unrolled():
     flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
     names = ["/".join(str(getattr(k, "key", k)) for k in kp) for kp, _ in flat]
     assert any("GPSLayer_1" in n for n in names)
+
+def test_bigbird_net_trains():
+    """Standalone BigBird network end-to-end training sanity."""
+    cfg, model, tx, state, gb = _setup(False, glob="BigBird")
+    train_step, _, _, _ = L.make_steps(cfg, model, tx)
+    state2, loss, *_ = train_step(state, gb, jax.random.PRNGKey(0))
+    assert np.isfinite(float(np.asarray(loss)))
