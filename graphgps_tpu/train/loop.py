@@ -120,6 +120,31 @@ def make_steps(cfg, model, tx):
             jax.jit(eval_step))
 
 
+def make_fused_steps(cfg, model, tx, loader):
+    """Train/eval steps with device-side batch ASSEMBLY fused into the jitted
+    step: one dispatch per step whose only per-step input is the (B,) graph
+    index vector. XLA fuses the arena gathers straight into the first layer's
+    consumers — the tightest form of the data path (requires a DeviceLoader).
+    """
+    from ..data.device_loader import assemble
+
+    train_step, grad_step, apply_step, eval_step = make_steps(cfg, model, tx)
+    tree = loader._tree
+    Nmax, B = loader.max_nodes, loader.batch_size
+
+    def fused_train(state, sel, rng):
+        batch = assemble.__wrapped__(tree, sel, Nmax, B)
+        return train_step.__wrapped__(state, batch, rng)
+
+    def fused_eval(state, sel):
+        batch = assemble.__wrapped__(tree, sel, Nmax, B)
+        return eval_step.__wrapped__(state, batch)
+
+    donate = (0,) if cfg.parallel.donate else ()
+    return (jax.jit(fused_train, donate_argnums=donate),
+            jax.jit(fused_eval))
+
+
 def init_state(cfg, model, example_batch: GraphBatch, seed: int,
                tx) -> TrainState:
     rng = jax.random.PRNGKey(seed)

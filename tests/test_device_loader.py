@@ -85,3 +85,43 @@ def test_device_loader_trains(tmp_path):
     hist = run_single(cfg, str(tmp_path / "run"))
     losses = [h["loss"] for h in hist["train"]]
     assert losses[-1] < losses[0]
+
+
+def test_fused_steps_match_two_dispatch(tmp_path):
+    """make_fused_steps (assembly fused into the jitted step) matches the
+    assemble-then-step path exactly."""
+    import jax
+    import jax.numpy as jnp
+    import graphgps_tpu.train.loop as L
+    from graphgps_tpu.data.device_loader import assemble
+    from graphgps_tpu.models.networks import build_model
+    from graphgps_tpu.optim.optimizers import make_tx
+    from graphgps_tpu.data.datasets.base import load_dataset
+
+    cfg = new_cfg()
+    cfg.dataset.synth_num_graphs = 16
+    cfg.dataset.synth_max_nodes = 12
+    cfg.gt.layers = 1
+    cfg.gt.dim_hidden = 16
+    cfg.gt.n_heads = 2
+    cfg.gnn.dim_inner = 16
+    ds = load_dataset(cfg)
+    dl = DeviceLoader(ds.train, batch_size=4, shuffle=False)
+    _, gb = next(iter(dl))
+    model = build_model(cfg, 1)
+    tx = make_tx(cfg)
+    state = L.init_state(cfg, model, gb, 0, tx)
+    sel = jnp.arange(4, dtype=jnp.int32)
+    rng = jax.random.PRNGKey(0)
+
+    cfg.parallel.donate = False
+    step2, _, _, eval2 = L.make_steps(cfg, model, tx)
+    fused_train, fused_eval = L.make_fused_steps(cfg, model, tx, dl)
+    b = assemble(dl._tree, sel, dl.max_nodes, 4)
+    _, loss_a, *_ = step2(state, b, rng)
+    _, loss_b, *_ = fused_train(state, sel, rng)
+    np.testing.assert_allclose(np.asarray(loss_a), np.asarray(loss_b),
+                               rtol=1e-6)
+    la, *_ = eval2(state, b)
+    lb, *_ = fused_eval(state, sel)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6)
