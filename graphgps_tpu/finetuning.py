@@ -47,9 +47,15 @@ def load_pretrained_model_cfg(cfg) -> Any:
     import yaml
 
     pdir = cfg.pretrained.dir
-    cfg_path = os.path.join(pdir, "config.yaml")
-    if not os.path.exists(cfg_path):
-        raise FileNotFoundError(f"pretrained config not found: {cfg_path}")
+    # config.yaml is dumped at the experiment level; checkpoints per seed dir —
+    # accept pretrained.dir pointing at either
+    for cand in (os.path.join(pdir, "config.yaml"),
+                 os.path.join(os.path.dirname(pdir.rstrip("/")), "config.yaml")):
+        if os.path.exists(cand):
+            cfg_path = cand
+            break
+    else:
+        raise FileNotFoundError(f"pretrained config not found under {pdir}")
     with open(cfg_path) as f:
         pre = yaml.safe_load(f)
 

@@ -192,7 +192,13 @@ def make_tx(cfg, trainable_mask=None) -> optax.GradientTransformation:
         parts.append(optax.clip_by_global_norm(cfg.optim.clip_grad_norm_value))
     opt = build_optimizer(cfg)
     if trainable_mask is not None:
-        opt = optax.masked(opt, trainable_mask)
+        # NOTE optax.masked passes UNMASKED leaves' updates through unchanged
+        # (raw gradients!) — the correct freeze is to zero the frozen leaves'
+        # final updates after the optimizer (also kills adamW weight decay on
+        # frozen params).
+        import jax as _jax
+        frozen = _jax.tree_util.tree_map(lambda t: not t, trainable_mask)
+        opt = optax.chain(opt, optax.masked(optax.set_to_zero(), frozen))
     parts.append(opt)
     return optax.chain(*parts) if len(parts) > 1 else parts[0]
 

@@ -60,6 +60,62 @@ def test_finetune_run_and_freeze(tmp_path):
     cfg2.optim.max_epoch = 2
     hist = run_single(cfg2, str(tmp_path / "ft"))
     assert len(hist["train"]) == 2
+    assert all(np.isfinite(h["loss"]) for h in hist["train"])
+    # frozen body must not explode the loss (head-only training)
+    assert hist["train"][-1]["loss"] < 10.0, hist["train"]
+
+
+def test_frozen_body_params_unchanged(tmp_path):
+    """One optimizer step must leave body params bit-identical under freeze."""
+    import jax
+    import jax.numpy as jnp
+    import graphgps_tpu.train.loop as L
+    from graphgps_tpu.data.batching import collate
+    from graphgps_tpu.data.datasets.base import load_dataset
+    from graphgps_tpu.models.networks import build_model
+    from graphgps_tpu.optim.optimizers import make_tx
+    from graphgps_tpu.finetuning import freeze_body_mask
+
+    cfg = _cfg(tmp_path)
+    ds = load_dataset(cfg)
+    gb = collate(ds.train[:8], 8, 16, 512).to_graph_batch()
+    model = build_model(cfg, 1)
+    state = L.init_state(cfg, model, gb, 0, make_tx(cfg))
+    mask = freeze_body_mask(jax.device_get(state.params))
+    tx = make_tx(cfg, mask)
+    state = L.TrainState(params=state.params, batch_stats=state.batch_stats,
+                         opt_state=tx.init(state.params), step=state.step)
+    cfg.parallel.donate = False
+    train_step, _, _, _ = L.make_steps(cfg, model, tx)
+    before = jax.device_get(state.params)
+    new_state, loss, *_ = train_step(state, gb, jax.random.PRNGKey(0))
+    after = jax.device_get(new_state.params)
+
+    def check(d_b, d_a, m, path=""):
+        for k in d_b:
+            p = f"{path}/{k}"
+            if isinstance(d_b[k], dict):
+                check(d_b[k], d_a[k], m[k], p)
+            elif m[k]:  # trainable head: must move
+                pass
+            else:       # frozen body: bit-identical
+                np.testing.assert_array_equal(np.asarray(d_b[k]),
+                                              np.asarray(d_a[k]), err_msg=p)
+
+    check(before, after, mask)
+    # and at least one head param must actually change
+    changed = []
+
+    def moved(d_b, d_a, m):
+        for k in d_b:
+            if isinstance(d_b[k], dict):
+                moved(d_b[k], d_a[k], m[k])
+            elif m[k]:
+                changed.append(not np.array_equal(np.asarray(d_b[k]),
+                                                  np.asarray(d_a[k])))
+
+    moved(before, after, mask)
+    assert any(changed)
 
 
 def test_freeze_mask_shape():
