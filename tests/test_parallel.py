@@ -96,3 +96,37 @@ def test_batch_sharding_layout():
     # each device owns a contiguous slice of the node axis
     sl = shard_map[0][0]
     assert sl.start == 0 and sl.stop == gb.num_node_slots // 8
+
+
+def test_dp_with_device_assembled_batch(rng):
+    """Device-assembled batches reshard cleanly onto the data mesh and give
+    the same results as unsharded execution."""
+    from graphgps_tpu.data.device_loader import DeviceLoader
+    from graphgps_tpu.data.datasets.base import load_dataset
+
+    cfg = new_cfg()
+    cfg.dataset.synth_num_graphs = 32
+    cfg.dataset.synth_max_nodes = 12
+    cfg.train.batch_size = 8
+    cfg.gt.layers = 1
+    cfg.gt.dim_hidden = 16
+    cfg.gt.n_heads = 2
+    cfg.gt.batch_norm = False
+    cfg.gt.layer_norm = True
+    ds = load_dataset(cfg)
+    dl = DeviceLoader(ds.train, batch_size=8, max_nodes=16, shuffle=False)
+    real, gb = next(iter(dl))
+    model = build_model(cfg, 1)
+    tx = make_tx(cfg)
+    state = L.init_state(cfg, model, gb, 0, tx)
+    _, _, _, eval_step = L.make_steps(cfg, model, tx)
+    loss_1, pred_1, _, _ = eval_step(state, gb)
+
+    mesh = make_mesh(devices=jax.devices())
+    gb_s = shard_batch(gb, mesh)
+    state_r = shard_params(state, mesh)
+    loss_8, pred_8, _, _ = eval_step(state_r, gb_s)
+    np.testing.assert_allclose(np.asarray(loss_1), np.asarray(loss_8),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pred_1), np.asarray(pred_8),
+                               rtol=1e-4, atol=1e-5)
