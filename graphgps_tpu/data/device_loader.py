@@ -120,9 +120,11 @@ class DeviceArenas:
         self.has_extras = bool(g0.extras)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def assemble(arenas_tree, sel: jax.Array, max_nodes: int, num_graphs: int):
-    """Jitted device-side collation: (arenas, (B,) int32) → GraphBatch."""
+def assemble_impl(arenas_tree, sel: jax.Array, max_nodes: int,
+                  num_graphs: int):
+    """Device-side collation (traceable): (arenas, (B,) int32) → GraphBatch.
+    Call this from inside other jitted functions (e.g. fused train steps);
+    use ``assemble`` for a standalone jitted call."""
     a = arenas_tree
     B, Nmax = num_graphs, max_nodes
     off = a["node_off"][sel]                       # (B,)
@@ -185,6 +187,9 @@ def assemble(arenas_tree, sel: jax.Array, max_nodes: int, num_graphs: int):
         num_graphs=B, max_nodes=Nmax)
 
 
+assemble = functools.partial(jax.jit, static_argnums=(2, 3))(assemble_impl)
+
+
 class DeviceLoader:
     """Epoch iterator yielding device-assembled GraphBatches.
 
@@ -213,6 +218,11 @@ class DeviceLoader:
                           senders=a.senders, receivers=a.receivers,
                           edge_feat=a.edge_feat, pe=a.pe, y=a.y,
                           y_node=a.y_node, extras=a.extras)
+
+    @property
+    def arenas_tree(self):
+        """Public pytree of device-resident arenas (for fused train steps)."""
+        return self._tree
 
     def __len__(self) -> int:
         n = self.arenas.num_graphs_total

@@ -32,9 +32,21 @@ _COPY_POSENC = True
 
 
 def get_final_pretrained_ckpt(ckpt_dir: str) -> str:
-    """Path of the highest-epoch checkpoint (reference finetuning.py:10-17)."""
+    """Path of the highest-epoch checkpoint (reference finetuning.py:10-17).
+
+    Accepts <run>/ckpt directly, or an experiment-level parent whose lowest
+    seed subdir holds the ckpt (so pretrained.dir may point at either level,
+    consistent with load_pretrained_model_cfg)."""
     if not os.path.isdir(ckpt_dir):
-        raise FileNotFoundError(f"no pretrained ckpt dir: {ckpt_dir}")
+        parent = os.path.dirname(ckpt_dir)   # the pretrained.dir itself
+        seeds = sorted((d for d in os.listdir(parent)
+                        if d.isdigit() and os.path.isdir(
+                            os.path.join(parent, d, "ckpt"))),
+                       key=int) if os.path.isdir(parent) else []
+        if seeds:
+            ckpt_dir = os.path.join(parent, seeds[0], "ckpt")
+        else:
+            raise FileNotFoundError(f"no pretrained ckpt dir: {ckpt_dir}")
     epochs = sorted(int(x) for x in os.listdir(ckpt_dir) if x.isdigit())
     if not epochs:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
@@ -46,11 +58,12 @@ def load_pretrained_model_cfg(cfg) -> Any:
     (reference finetuning.py:48-97)."""
     import yaml
 
-    pdir = cfg.pretrained.dir
+    pdir = os.path.abspath(cfg.pretrained.dir)
     # config.yaml is dumped at the experiment level; checkpoints per seed dir —
-    # accept pretrained.dir pointing at either
+    # accept pretrained.dir pointing at either (abspath so a bare relative
+    # name can never fall back to the launch directory's config.yaml)
     for cand in (os.path.join(pdir, "config.yaml"),
-                 os.path.join(os.path.dirname(pdir.rstrip("/")), "config.yaml")):
+                 os.path.join(os.path.dirname(pdir), "config.yaml")):
         if os.path.exists(cand):
             cfg_path = cand
             break

@@ -187,18 +187,28 @@ def make_tx(cfg, trainable_mask=None) -> optax.GradientTransformation:
     leaves get zero updates (the finetuning freeze_main capability,
     reference finetuning.py:144-152).
     """
+    import jax as _jax
+
     parts = []
+    if trainable_mask is not None:
+        # zero frozen-body gradients BEFORE clipping so the global-norm clip
+        # sees only trainable gradients (matching the reference's
+        # requires_grad_=False semantics, finetuning.py:144-152) — otherwise
+        # a large frozen body's norm would scale the head's updates down
+        frozen = _jax.tree_util.tree_map(lambda t: not t, trainable_mask)
+        parts.append(optax.masked(optax.set_to_zero(), frozen))
     if cfg.optim.clip_grad_norm:
         parts.append(optax.clip_by_global_norm(cfg.optim.clip_grad_norm_value))
     opt = build_optimizer(cfg)
     if trainable_mask is not None:
-        # NOTE optax.masked passes UNMASKED leaves' updates through unchanged
-        # (raw gradients!) — the correct freeze is to zero the frozen leaves'
-        # final updates after the optimizer (also kills adamW weight decay on
-        # frozen params).
-        import jax as _jax
-        frozen = _jax.tree_util.tree_map(lambda t: not t, trainable_mask)
-        opt = optax.chain(opt, optax.masked(optax.set_to_zero(), frozen))
+        # multi_transform applies the optimizer to the trainable subset only:
+        # no moment buffers or update compute for frozen params, and no adamW
+        # weight decay on them. (Plain optax.masked would pass unmasked
+        # leaves' updates through as raw gradients.)
+        labels = _jax.tree_util.tree_map(
+            lambda t: "train" if t else "freeze", trainable_mask)
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, labels)
     parts.append(opt)
     return optax.chain(*parts) if len(parts) > 1 else parts[0]
 
@@ -214,7 +224,9 @@ def set_lr(opt_state, lr: float):
                 lr, dtype=s.hyperparams["learning_rate"].dtype)
             return True
         if isinstance(s, (tuple, list)):
-            return any(walk(x) for x in s)
+            return any([walk(x) for x in s])
+        if isinstance(s, dict):  # e.g. multi_transform inner_states
+            return any([walk(x) for x in s.values()])
         return False
 
     walk(opt_state)

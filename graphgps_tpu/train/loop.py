@@ -67,8 +67,8 @@ def _loss_mask(cfg, batch: GraphBatch, pred: jax.Array) -> jax.Array:
     return jnp.ones((pred.shape[0],), dtype=bool)
 
 
-def make_steps(cfg, model, tx):
-    """Build jitted (train_step, grad_step, apply_step, eval_step)."""
+def _build_raw_steps(cfg, model, tx):
+    """Un-jitted step functions (shared by make_steps and make_fused_steps)."""
 
     def forward_loss(params, batch_stats, batch, rng, step):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -112,33 +112,41 @@ def make_steps(cfg, model, tx):
         loss = compute_loss(cfg, pred, true, mask)
         return loss, pred, true, mask
 
+    return dict(train=train_step, grad=grad_step, apply=apply_step,
+                eval=eval_step)
+
+
+def make_steps(cfg, model, tx):
+    """Build jitted (train_step, grad_step, apply_step, eval_step)."""
+    raw = _build_raw_steps(cfg, model, tx)
     donate = (0,) if cfg.parallel.donate else ()
-    return (jax.jit(train_step, donate_argnums=donate),
-            jax.jit(grad_step, donate_argnums=(3,) if cfg.parallel.donate else ()),
-            jax.jit(apply_step, static_argnums=(3,),
-                    donate_argnums=donate),
-            jax.jit(eval_step))
+    return (jax.jit(raw["train"], donate_argnums=donate),
+            jax.jit(raw["grad"],
+                    donate_argnums=(3,) if cfg.parallel.donate else ()),
+            jax.jit(raw["apply"], static_argnums=(3,), donate_argnums=donate),
+            jax.jit(raw["eval"]))
 
 
 def make_fused_steps(cfg, model, tx, loader):
     """Train/eval steps with device-side batch ASSEMBLY fused into the jitted
     step: one dispatch per step whose only per-step input is the (B,) graph
-    index vector. XLA fuses the arena gathers straight into the first layer's
-    consumers — the tightest form of the data path (requires a DeviceLoader).
+    index vector (requires a DeviceLoader). Opt-in API: measured ~4% over the
+    default two-dispatch loop at ZINC bs32, so custom_train keeps the simpler
+    structure; this exists for latency-critical serving/step loops.
     """
-    from ..data.device_loader import assemble
+    from ..data.device_loader import assemble_impl
 
-    train_step, grad_step, apply_step, eval_step = make_steps(cfg, model, tx)
-    tree = loader._tree
+    raw = _build_raw_steps(cfg, model, tx)
+    tree = loader.arenas_tree
     Nmax, B = loader.max_nodes, loader.batch_size
 
     def fused_train(state, sel, rng):
-        batch = assemble.__wrapped__(tree, sel, Nmax, B)
-        return train_step.__wrapped__(state, batch, rng)
+        batch = assemble_impl(tree, sel, Nmax, B)
+        return raw["train"](state, batch, rng)
 
     def fused_eval(state, sel):
-        batch = assemble.__wrapped__(tree, sel, Nmax, B)
-        return eval_step.__wrapped__(state, batch)
+        batch = assemble_impl(tree, sel, Nmax, B)
+        return raw["eval"](state, batch)
 
     donate = (0,) if cfg.parallel.donate else ()
     return (jax.jit(fused_train, donate_argnums=donate),

@@ -124,3 +124,40 @@ def test_freeze_mask_shape():
     mask = freeze_body_mask(params)
     assert mask["GPSLayer_0"]["Dense_0"]["kernel"] is False
     assert mask["SANGraphHead_0"]["Dense_0"]["kernel"] is True
+
+
+def test_set_lr_reaches_frozen_optimizer(tmp_path):
+    """set_lr must find the injected LR inside multi_transform's state dict."""
+    import jax
+    import graphgps_tpu.train.loop as L
+    from graphgps_tpu.data.batching import collate
+    from graphgps_tpu.data.datasets.base import load_dataset
+    from graphgps_tpu.models.networks import build_model
+    from graphgps_tpu.optim.optimizers import make_tx, set_lr
+    from graphgps_tpu.finetuning import freeze_body_mask
+
+    cfg = _cfg(tmp_path)
+    cfg.optim.clip_grad_norm = True
+    ds = load_dataset(cfg)
+    gb = collate(ds.train[:8], 8, 16, 512).to_graph_batch()
+    model = build_model(cfg, 1)
+    state = L.init_state(cfg, model, gb, 0, make_tx(cfg))
+    mask = freeze_body_mask(jax.device_get(state.params))
+    tx = make_tx(cfg, mask)
+    opt_state = tx.init(state.params)
+    set_lr(opt_state, 0.123)
+
+    found = []
+
+    def walk(s):
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            found.append(float(np.asarray(s.hyperparams["learning_rate"])))
+        if isinstance(s, (tuple, list)):
+            for x in s:
+                walk(x)
+        if isinstance(s, dict):
+            for x in s.values():
+                walk(x)
+
+    walk(opt_state)
+    assert found and abs(found[0] - 0.123) < 1e-6, found
