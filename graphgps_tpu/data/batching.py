@@ -21,6 +21,11 @@ def round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
 
 
+# extras whose axes scale with the graph's node count and must pad to the
+# batch node cap (everything else pads to the per-key batch maximum)
+NODE_SIZED_EXTRAS = frozenset({"spatial_types", "attn_bias"})
+
+
 def choose_caps(graphs: Sequence[Graph], node_multiple: int = 8,
                 edge_multiple: int = 32) -> tuple:
     """Pick static (max_nodes, max_edges-per-graph) caps for a dataset.
@@ -96,11 +101,13 @@ def collate(graphs: List[Graph], batch_size: int, max_nodes: int, max_edges: int
         pe_out[k] = np.zeros((B * Nmax, *v.shape[1:]), dtype=v.dtype)
     extras_out: Dict[str, np.ndarray] = {}
     for k, v in g0.extras.items():
-        # per-graph extras, padded on every axis that equals num_nodes;
-        # other axes (e.g. link-label counts) padded to the batch maximum
+        # node-sized axes of known node-shaped extras pad to Nmax; all other
+        # axes pad to the batch maximum. (An equality heuristic against
+        # num_nodes would misfire whenever an unrelated dimension — e.g.
+        # EigVals' max_freqs — happens to equal a graph's node count.)
         shp = []
         for d in range(v.ndim):
-            if v.shape[d] == g0.num_nodes:
+            if k in NODE_SIZED_EXTRAS and v.shape[d] == g0.num_nodes:
                 shp.append(Nmax)
             else:
                 shp.append(max(g.extras[k].shape[d] for g in graphs

@@ -153,15 +153,18 @@ def init_model_from_pretrained(state, cfg):
     import orbax.checkpoint as ocp
 
     ckpt_path = get_final_pretrained_ckpt(
-        os.path.join(cfg.pretrained.dir, "ckpt"))
+        os.path.join(os.path.abspath(cfg.pretrained.dir), "ckpt"))
     with ocp.PyTreeCheckpointer() as ckptr:
+        # restore ONLY params/batch_stats: the finetune optimizer structure
+        # (e.g. freeze via multi_transform) need not match the pretrained
+        # run's opt_state, which is irrelevant here anyway
         template = {
             "params": jax.device_get(state.params),
             "batch_stats": dict(jax.device_get(state.batch_stats)),
-            "opt_state": jax.device_get(state.opt_state),
-            "epoch": 0, "scheduler": {},
         }
-        restored = ckptr.restore(os.path.abspath(ckpt_path), item=template)
+        restored = ckptr.restore(
+            os.path.abspath(ckpt_path),
+            args=ocp.args.PyTreeRestore(item=template, partial_restore=True))
 
     skip = HEAD_PREFIXES if cfg.pretrained.reset_prediction_head else ()
     params = jax.tree_util.tree_map(np.asarray, dict(jax.device_get(state.params)))
