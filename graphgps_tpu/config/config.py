@@ -145,6 +145,12 @@ def new_cfg() -> CfgNode:
         encoder_dim=128,
         slic_compactness=10,
         infer_link_label="none",
+        # PCQM4Mv2Contact link prediction (reference master_loader.py:486-487)
+        resample_negative=False,
+        contact_neg_sampling="structured",  # structured / random / complete
+        # MalNetTiny feature set when dataset.name is not one of the
+        # reference's choices (Constant / OneHotDegree / LocalDegreeProfile)
+        malnet_features="LocalDegreeProfile",
         split_mode="standard",         # standard / random / cv-<k> / fixed / sliced
         split_index=0,
         split=[0.8, 0.1, 0.1],

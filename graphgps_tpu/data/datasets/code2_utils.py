@@ -27,24 +27,33 @@ def get_vocab_mapping(seq_list: Sequence[Sequence[str]],
         counter.update(seq)
     topk = [tok for tok, _ in counter.most_common(num_vocab)]
     vocab2idx = {tok: i for i, tok in enumerate(topk)}
-    vocab2idx["__UNK__"] = num_vocab
-    vocab2idx["__EOS__"] = num_vocab + 1
+    # UNK/EOS ids follow the real vocab (== num_vocab, num_vocab+1 when the
+    # corpus fills the budget, matching the reference's own asserts that
+    # idx2vocab[i] ↔ vocab2idx stay consistent and EOS is last)
+    vocab2idx["__UNK__"] = len(topk)
+    vocab2idx["__EOS__"] = len(topk) + 1
     idx2vocab = topk + ["__UNK__", "__EOS__"]
     return vocab2idx, idx2vocab
 
 
 def augment_edge(g: Graph) -> Graph:
     """Add inverse AST edges + bidirectional next-token chain edges with
-    (type, direction) edge attributes (reference augment_edge)."""
+    (type, direction) edge attributes (reference augment_edge,
+    ogbg_code2_utils.py:70-130). Next-token edges connect *attributed* nodes
+    in DFS order when ``g.extras['node_is_attributed']`` is present (nodes are
+    already DFS-sorted in OGB's ASTs); otherwise the plain node ordering."""
     s, r = g.edge_index
     n = g.num_nodes
     # AST forward + inverse
     ast_f = np.stack([s, r])
     ast_b = np.stack([r, s])
-    # next-token chain over the node ordering (DFS order in OGB's ASTs)
-    nt_s = np.arange(n - 1)
-    nt_f = np.stack([nt_s, nt_s + 1])
-    nt_b = np.stack([nt_s + 1, nt_s])
+    attributed = g.extras.pop("node_is_attributed", None)
+    if attributed is not None:
+        chain = np.nonzero(np.asarray(attributed).ravel() == 1)[0]
+    else:
+        chain = np.arange(n)
+    nt_f = np.stack([chain[:-1], chain[1:]])
+    nt_b = np.stack([chain[1:], chain[:-1]])
     ei = np.concatenate([ast_f, ast_b, nt_f, nt_b], axis=1)
     attr = np.concatenate([
         np.tile([[0, 0]], (ast_f.shape[1], 1)),

@@ -1,123 +1,73 @@
 """Real benchmark dataset loaders (ZINC, OGB molecule sets, LRGB, …).
 
 Capability analog of the reference master loader's preformat_* family
-(/root/reference/graphgps/loader/master_loader.py:321-613). This environment has
-no network egress and no PyG/OGB/rdkit, so each loader reads a pre-downloaded
-local cache from ``cfg.dataset.dir`` in simple portable formats:
-
-- ZINC: the benchmarking-gnns pickle layout (``{split}.pickle`` with
-  ``atom_type``/``bond_type``/``logP_SA_cycle_normalized``) or an ``.npz`` export
-  with per-graph arrays.
-- OGB graph-prediction sets: the standard OGB ``raw/`` CSV layout
-  (edge.csv.gz, node-feat.csv.gz, graph-label.csv.gz, num-node-list.csv.gz,
-  num-edge-list.csv.gz + split dir).
-
-When the cache is absent and ``cfg.dataset.synthetic_fallback`` is true (the
-default here), a statistics-matched synthetic dataset is substituted so the full
-pipeline stays runnable hermetically; a warning is logged.
+(/root/reference/graphgps/loader/master_loader.py:100-613). Each loader first
+parses the GENUINE upstream on-disk format (see ``io_formats``) from
+``cfg.dataset.dir`` — the same bytes PyG/OGB download — then a legacy npz
+cache, and only when neither is present substitutes a statistics-matched
+synthetic dataset (``cfg.dataset.synthetic_fallback``, default true) so the
+full pipeline stays runnable hermetically; a warning is logged on fallback.
 """
 from __future__ import annotations
 
-import gzip
 import logging
 import os
 import pickle
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
 from ...registry import register_dataset
 from ..graph import Graph
+from . import io_formats
 from .base import DatasetSplits
 
 log = logging.getLogger(__name__)
 
+# PCQM4Mv2 official custom-split constants
+# (reference preformat_OGB_PCQM4Mv2, master_loader.py:373-456)
+PCQM_CUSTOM_VALID = 150_000   # graphs carved out of 'train' as our valid set
+PCQM_SUBSET_RATIO = 0.1       # 'subset' mode: fraction of train kept
+PCQM_SUBSET_VALID = 50_000    # 'subset' mode: custom-valid size
 
-def _zinc_from_pickle(root: str, subset: bool) -> Optional[DatasetSplits]:
-    """benchmarking-gnns ZINC pickle layout."""
+
+def _zinc_from_legacy(root: str, subset: bool) -> Optional[DatasetSplits]:
+    """Legacy cache layouts kept for compatibility: per-split pickles under
+    ``ZINC/{subset|full}/`` or a single ``zinc_{subset|full}.npz``."""
     sub = "subset" if subset else "full"
     paths = {s: os.path.join(root, "ZINC", sub, f"{s}.pickle")
              for s in ("train", "val", "test")}
-    if not all(os.path.exists(p) for p in paths.values()):
-        return None
-    out = {}
-    for split, p in paths.items():
-        with open(p, "rb") as f:
-            mols = pickle.load(f)
-        graphs = []
-        for mol in mols:
-            atom = np.asarray(mol["atom_type"], dtype=np.int64)[:, None]
-            bond = np.asarray(mol["bond_type"])
-            s, r = np.nonzero(bond)
-            e = bond[s, r].astype(np.int64)[:, None]
-            y = np.asarray([mol["logP_SA_cycle_normalized"]], dtype=np.float32).reshape(1)
-            graphs.append(Graph(node_feat=atom, edge_index=np.stack([s, r]),
-                                edge_feat=e, y=y))
-        out[split] = graphs
-    return DatasetSplits(train=out["train"], val=out["val"], test=out["test"],
-                         meta=dict(num_node_types=28, num_edge_types=4))
-
-
-def _zinc_from_npz(root: str, subset: bool) -> Optional[DatasetSplits]:
-    sub = "subset" if subset else "full"
-    path = os.path.join(root, "ZINC", f"zinc_{sub}.npz")
-    if not os.path.exists(path):
-        return None
-    z = np.load(path, allow_pickle=True)
-    out = {}
-    for split in ("train", "val", "test"):
-        graphs = []
-        for rec in z[split]:
-            graphs.append(Graph(node_feat=rec["x"], edge_index=rec["edge_index"],
-                                edge_feat=rec["edge_attr"], y=rec["y"]))
-        out[split] = graphs
-    return DatasetSplits(train=out["train"], val=out["val"], test=out["test"],
-                         meta=dict(num_node_types=28, num_edge_types=4))
-
-
-def _ogb_graph_csv(root: str, name: str) -> Optional[DatasetSplits]:
-    """Standard OGB graph-pred raw CSV layout."""
-    base = os.path.join(root, name.replace("-", "_"))
-    raw = os.path.join(base, "raw")
-    if not os.path.isdir(raw):
-        return None
-
-    def _load(fname, dtype):
-        p = os.path.join(raw, fname)
-        if not os.path.exists(p):
-            return None
-        with gzip.open(p, "rt") as f:
-            return np.loadtxt(f, delimiter=",", dtype=dtype, ndmin=2)
-
-    edges = _load("edge.csv.gz", np.int64)
-    nfeat = _load("node-feat.csv.gz", np.int64)
-    efeat = _load("edge-feat.csv.gz", np.int64)
-    labels = _load("graph-label.csv.gz", np.float64)
-    nn_list = _load("num-node-list.csv.gz", np.int64).ravel()
-    ne_list = _load("num-edge-list.csv.gz", np.int64).ravel()
-    graphs: List[Graph] = []
-    n_off = e_off = 0
-    for gi, (n, e) in enumerate(zip(nn_list, ne_list)):
-        ei = edges[e_off:e_off + e].T
-        g = Graph(
-            node_feat=(nfeat[n_off:n_off + n] if nfeat is not None
-                       else np.zeros((n, 1), np.int64)),
-            edge_index=ei,
-            edge_feat=efeat[e_off:e_off + e] if efeat is not None else None,
-            y=labels[gi].astype(np.float32))
-        graphs.append(g)
-        n_off += n
-        e_off += e
-    split_dir = os.path.join(base, "split", "scaffold")
-    idx = {}
-    for s, fname in (("train", "train.csv.gz"), ("val", "valid.csv.gz"),
-                     ("test", "test.csv.gz")):
-        p = os.path.join(split_dir, fname)
-        with gzip.open(p, "rt") as f:
-            idx[s] = np.loadtxt(f, dtype=np.int64, ndmin=1)
-    return DatasetSplits(train=[graphs[i] for i in idx["train"]],
-                         val=[graphs[i] for i in idx["val"]],
-                         test=[graphs[i] for i in idx["test"]])
+    if all(os.path.exists(p) for p in paths.values()):
+        out = {}
+        for split, p in paths.items():
+            with open(p, "rb") as f:
+                mols = pickle.load(f)
+            graphs = []
+            for mol in mols:
+                atom = np.asarray(mol["atom_type"], dtype=np.int64).reshape(-1, 1)
+                bond = np.asarray(mol["bond_type"])
+                s, r = np.nonzero(bond)
+                e = bond[s, r].astype(np.int64)[:, None]
+                y = np.asarray(mol["logP_SA_cycle_normalized"],
+                               dtype=np.float32).reshape(1)
+                graphs.append(Graph(node_feat=atom, edge_index=np.stack([s, r]),
+                                    edge_feat=e, y=y))
+            out[split] = graphs
+        return DatasetSplits(train=out["train"], val=out["val"],
+                             test=out["test"],
+                             meta=dict(num_node_types=28, num_edge_types=4))
+    npz = os.path.join(root, "ZINC", f"zinc_{sub}.npz")
+    if os.path.exists(npz):
+        z = np.load(npz, allow_pickle=True)
+        out = {}
+        for split in ("train", "val", "test"):
+            out[split] = [Graph(node_feat=rec["x"], edge_index=rec["edge_index"],
+                                edge_feat=rec["edge_attr"], y=rec["y"])
+                          for rec in z[split]]
+        return DatasetSplits(train=out["train"], val=out["val"],
+                             test=out["test"],
+                             meta=dict(num_node_types=28, num_edge_types=4))
+    return None
 
 
 def _fallback(cfg, kind: str) -> DatasetSplits:
@@ -139,67 +89,163 @@ def load_zinc(cfg) -> DatasetSplits:
     """ZINC 12k subset / 250k full graph regression
     (reference preformat_ZINC, master_loader.py:547-563)."""
     subset = cfg.dataset.name == "subset"
-    ds = (_zinc_from_pickle(cfg.dataset.dir, subset)
-          or _zinc_from_npz(cfg.dataset.dir, subset))
+    raw = io_formats.read_zinc_raw(cfg.dataset.dir, subset)
+    if raw is not None:
+        return DatasetSplits(train=raw["train"], val=raw["val"],
+                             test=raw["test"],
+                             meta=dict(num_node_types=28, num_edge_types=4))
+    ds = _zinc_from_legacy(cfg.dataset.dir, subset)
     return ds if ds is not None else _fallback(cfg, "zinc-like")
+
+
+# ---------------------------------------------------------------------------
+# OGB graph prediction — generic dispatch like the reference's format == 'OGB'
+# branch (master_loader.py:151-181)
+# ---------------------------------------------------------------------------
+
+def _load_ogb_graph(cfg, name: str) -> DatasetSplits:
+    """ogbg-mol* / ogbg-ppa / ogbg-code2 raw CSV layout
+    (reference preformat_OGB_Graph, master_loader.py:321-370)."""
+    base = os.path.join(cfg.dataset.dir, name.replace("-", "_"))
+    parsed = io_formats.read_ogb_graph_raw(base, name)
+    if parsed is None:
+        return _fallback(cfg, "zinc-like")
+    graphs, split_idx = parsed
+    ds = DatasetSplits(train=[graphs[i] for i in split_idx["train"]],
+                       val=[graphs[i] for i in split_idx["val"]],
+                       test=[graphs[i] for i in split_idx["test"]])
+    if name == "ogbg-ppa":
+        # node features are all-zeros placeholders added at read time
+        ds.meta["num_node_types"] = 1
+    return ds
+
+
+def _load_pcqm4mv2(cfg, mode: str) -> DatasetSplits:
+    """OGB-LSC PCQM4Mv2 with the official split-mode construction
+    (reference preformat_OGB_PCQM4Mv2, master_loader.py:373-456):
+
+    - ``full``: random (seed 42) 150k of 'train' → custom valid; rest of
+      'train' → train; official labeled 'valid' → test.
+    - ``subset``: 10% of the custom train + 50k of the custom valid, same test.
+    - ``inference``: [official valid, test-dev, test-challenge] with NaN-ness
+      assertions on the held-out targets.
+
+    Graph structures come from the smiles2graph-preprocessed npz cache
+    (molecule graphs require rdkit, a host-side preprocessing dependency per
+    SURVEY §2.9); the official ``split_dict.pt`` is parsed directly.
+    """
+    path = os.path.join(cfg.dataset.dir, "pcqm4m-v2", "processed.npz")
+    if not os.path.exists(path):
+        return _fallback(cfg, "zinc-like")
+    z = np.load(path, allow_pickle=True)
+    graphs = [Graph(node_feat=r["x"], edge_index=r["edge_index"],
+                    edge_feat=r["edge_attr"],
+                    y=np.asarray(r["y"], np.float32).reshape(-1))
+              for r in z["graphs"]]
+
+    split = io_formats.read_pcqm4m_split_dict(cfg.dataset.dir)
+    if split is None:
+        split = {k: np.asarray(v, np.int64).ravel()
+                 for k, v in z["split"].item().items()}
+    # tolerate partial caches: keep only indices the cache actually holds
+    n = len(graphs)
+    split = {k: v[v < n] for k, v in split.items()}
+
+    rng = np.random.default_rng(seed=42)
+    train_idx = rng.permutation(split["train"])
+    valid_idx, train_idx = (train_idx[:PCQM_CUSTOM_VALID],
+                            train_idx[PCQM_CUSTOM_VALID:])
+
+    if mode == "full":
+        idxs = [train_idx, valid_idx, split["valid"]]
+    elif mode == "subset":
+        idxs = [train_idx[:int(PCQM_SUBSET_RATIO * len(train_idx))],
+                valid_idx[:PCQM_SUBSET_VALID], split["valid"]]
+    elif mode == "inference":
+        idxs = [split["valid"], split.get("test-dev", np.array([], np.int64)),
+                split.get("test-challenge", np.array([], np.int64))]
+        assert all(not np.isnan(graphs[i].y[0]) for i in idxs[0]), \
+            "PCQM4Mv2 official valid labels must not be NaN"
+        for held in idxs[1:]:
+            assert all(np.isnan(graphs[i].y[0]) for i in held), \
+                "PCQM4Mv2 test-dev/challenge targets must be NaN"
+    else:
+        raise ValueError(f"Unexpected OGB PCQM4Mv2 subset choice: {mode!r}")
+    return DatasetSplits(train=[graphs[i] for i in idxs[0]],
+                         val=[graphs[i] for i in idxs[1]],
+                         test=[graphs[i] for i in idxs[2]],
+                         meta=dict(pcqm_mode=mode))
 
 
 @register_dataset("OGB")
 def load_ogb(cfg) -> DatasetSplits:
-    """ogbg-mol* graph prediction (reference preformat_OGB_Graph,
-    master_loader.py:321-370)."""
-    ds = _ogb_graph_csv(cfg.dataset.dir, cfg.dataset.name)
-    return ds if ds is not None else _fallback(cfg, "zinc-like")
+    """Dispatch on dataset.name like the reference's OGB branch
+    (master_loader.py:151-181): ogbg-* raw graphs, PCQM4Mv2-<mode>,
+    peptides-<kind>, PCQM4Mv2Contact-<split>."""
+    name = cfg.dataset.name
+    if name.startswith("ogbg"):
+        return _load_ogb_graph(cfg, name.replace("_", "-"))
+    if name.startswith("PCQM4Mv2Contact-"):
+        from .more_real import pcqm4mv2_contact
+        return pcqm4mv2_contact(cfg)
+    if name.startswith("PCQM4Mv2-"):
+        return _load_pcqm4mv2(cfg, name.split("-", 1)[1])
+    if name.startswith("peptides-"):
+        from .more_real import peptides_functional, peptides_structural
+        kind = name.split("-", 1)[1]
+        return (peptides_functional(cfg) if kind == "functional"
+                else peptides_structural(cfg))
+    return _load_ogb_graph(cfg, name)
+
+
+@register_dataset("OGB-LSC")
+@register_dataset("PCQM4Mv2")
+def load_pcqm4m(cfg) -> DatasetSplits:
+    """OGB-LSC PCQM4Mv2 under its legacy registry keys; name is the mode
+    ('subset' / 'full' / 'inference', default full)."""
+    mode = cfg.dataset.name
+    if mode.startswith("PCQM4Mv2-"):
+        mode = mode.split("-", 1)[1]
+    if mode not in ("subset", "full", "inference"):
+        mode = "full"
+    return _load_pcqm4mv2(cfg, mode)
 
 
 @register_dataset("PyG-VOCSuperpixels")
 @register_dataset("PyG-COCOSuperpixels")
 def load_superpixels(cfg) -> DatasetSplits:
     """LRGB vision superpixel node classification (reference
-    voc_superpixels.py:12-168 / coco_superpixels.py:12-187). Local cache reader
-    for the LRGB pickle layout; synthetic VOC-like fallback otherwise."""
-    root = os.path.join(cfg.dataset.dir,
-                        cfg.dataset.format.replace("PyG-", ""))
-    splits = {}
-    for s in ("train", "val", "test"):
-        p = os.path.join(root, f"{s}.pickle")
-        if not os.path.exists(p):
-            return _fallback(cfg, "voc-like")
-        with open(p, "rb") as f:
-            recs = pickle.load(f)
-        graphs = []
-        for rec in recs:
-            x, ei, ea, y = rec[0], rec[1], rec[2], rec[3]
-            graphs.append(Graph(node_feat=np.asarray(x, np.float32),
-                                edge_index=np.asarray(ei, np.int64),
-                                edge_feat=np.asarray(ea, np.float32),
-                                y=np.asarray(y, np.int64)))
-        splits[s] = graphs
-    return DatasetSplits(train=splits["train"], val=splits["val"],
-                         test=splits["test"])
+    voc_superpixels.py:127-168 / coco_superpixels.py:140-187). Parses the
+    upstream pickle tuples (x, edge_attr, edge_index, y) under
+    ``slic_compactness_<c>/<variant>/raw``; COCO labels remapped to 0..80."""
+    family = cfg.dataset.format.replace("PyG-", "")
+    variant = cfg.dataset.name
+    if variant in ("none", ""):
+        variant = "edge_wt_only_coord"
+    raw = io_formats.read_lrgb_superpixels(
+        cfg.dataset.dir, family, variant, cfg.dataset.slic_compactness)
+    if raw is None:
+        return _fallback(cfg, "voc-like")
+    return DatasetSplits(train=raw["train"], val=raw["val"], test=raw["test"])
 
 
 @register_dataset("PyG-GNNBenchmarkDataset")
 def load_gnn_benchmark(cfg) -> DatasetSplits:
-    """PATTERN/CLUSTER/MNIST/CIFAR10 (reference preformat_GNNBenchmarkDataset).
-    Local-cache reader; synthetic fallback otherwise."""
-    return _fallback(cfg, "voc-like")
-
-
-@register_dataset("OGB-LSC")
-@register_dataset("PCQM4Mv2")
-def load_pcqm4m(cfg) -> DatasetSplits:
-    """OGB-LSC PCQM4Mv2 (reference preformat_OGB_PCQM4Mv2,
-    master_loader.py:373-456). Reads the smiles2graph-preprocessed npz cache if
-    present; synthetic molecule fallback otherwise."""
-    path = os.path.join(cfg.dataset.dir, "pcqm4m-v2", "processed.npz")
-    if not os.path.exists(path):
-        return _fallback(cfg, "zinc-like")
-    z = np.load(path, allow_pickle=True)
-    graphs = [Graph(node_feat=r["x"], edge_index=r["edge_index"],
-                    edge_feat=r["edge_attr"], y=np.asarray(r["y"], np.float32))
-              for r in z["graphs"]]
-    idx = z["split"].item()
-    return DatasetSplits(train=[graphs[i] for i in idx["train"]],
-                         val=[graphs[i] for i in idx["valid"]],
-                         test=[graphs[i] for i in idx.get("test", idx["valid"])])
+    """PATTERN/CLUSTER/MNIST/CIFAR10 from the PyG GNNBenchmarkDataset archives
+    (reference preformat_GNNBenchmarkDataset, master_loader.py:256-286).
+    MNIST/CIFAR10 get concat(x, pos) float features; PATTERN/CLUSTER keep int
+    node types with node-level labels."""
+    name = cfg.dataset.name
+    if name not in ("PATTERN", "CLUSTER", "MNIST", "CIFAR10", "CSL"):
+        raise ValueError(f"GNNBenchmarkDataset does not provide {name!r}")
+    root = os.path.join(cfg.dataset.dir, "GNNBenchmarkDataset")
+    raw = (io_formats.read_gnnbenchmark_pt(root, name)
+           or io_formats.read_gnnbenchmark_pt(cfg.dataset.dir, name))
+    if raw is None:
+        return _fallback(cfg, "voc-like")
+    meta: Dict = {}
+    if name in ("PATTERN", "CLUSTER"):
+        num_types = 1 + max(int(g.node_feat.max()) for g in raw["train"])
+        meta = dict(num_node_types=num_types)
+    return DatasetSplits(train=raw["train"], val=raw["val"], test=raw["test"],
+                         meta=meta)
