@@ -357,28 +357,55 @@ class _GINStack(nn.Module):
 
 @register_node_encoder("GraphormerBias")
 class GraphormerBiasEncoder(nn.Module):
-    """Graphormer spatial bias + degree embeddings
-    (reference graphormer_encoder.py:103-253). Writes the per-head additive
-    attention bias into ``batch.extras['attn_bias']`` (B,H,N,N) and adds degree
-    embeddings to x."""
+    """Graphormer spatial bias + degree embeddings + graph token
+    (reference graphormer_encoder.py:103-275). Writes the per-head additive
+    attention bias into ``batch.extras['attn_bias']`` and adds degree
+    embeddings to x.
+
+    Graph token (reference BiasEncoder:176-183 + NodeEncoder:186-253 +
+    add_graph_token:188-208): instead of physically inserting a [CLS] node
+    into the flat slot layout (which would shift every edge index), the
+    learned token lives in ``batch.extras['graph_token_state']`` (B, d) and is
+    prepended to the dense sequence inside each Graphormer layer; the bias is
+    padded with the learned per-head token row/column here. The pooling
+    ``graph_token`` reads the final token state — semantics identical to the
+    reference's dense index-0 token."""
 
     num_heads: int
     num_spatial_types: int = 20
     num_in_degrees: int = 64
     num_out_degrees: int = 64
     node_degrees_only: bool = False
+    use_graph_token: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x, train: bool):
+        init = nn.initializers.normal(0.02)
         if not self.node_degrees_only:
             spatial = batch.extras["spatial_types"].astype(jnp.int32)  # (B, N, N)
-            bias = nn.Embed(self.num_spatial_types + 2, self.num_heads)(spatial)
-            batch.extras["attn_bias"] = bias.transpose(0, 3, 1, 2)     # (B,H,N,N)
+            bias = nn.Embed(self.num_spatial_types + 2, self.num_heads,
+                            embedding_init=init)(spatial)
+            bias = bias.transpose(0, 3, 1, 2)                          # (B,H,N,N)
+            if self.use_graph_token:
+                tok_bias = self.param("graph_token_bias", init,
+                                      (self.num_heads,))
+                B, H, N, _ = bias.shape
+                padded = jnp.pad(bias, ((0, 0), (0, 0), (1, 0), (1, 0)))
+                col = jnp.broadcast_to(tok_bias[None, :, None], (B, H, N + 1))
+                padded = padded.at[:, :, :, 0].set(col)   # everyone → token
+                padded = padded.at[:, :, 0, :].set(
+                    jnp.broadcast_to(tok_bias[None, :, None], (B, H, N + 1)))
+                bias = padded                              # token row → all
+            batch.extras["attn_bias"] = bias
         in_deg = jnp.clip(batch.pe["in_degrees"][:, 0].astype(jnp.int32), 0,
                           self.num_in_degrees - 1)
         out_deg = jnp.clip(batch.pe["out_degrees"][:, 0].astype(jnp.int32), 0,
                            self.num_out_degrees - 1)
         d = x.shape[-1]
-        x = x + nn.Embed(self.num_in_degrees, d)(in_deg)
-        x = x + nn.Embed(self.num_out_degrees, d)(out_deg)
+        x = x + nn.Embed(self.num_in_degrees, d, embedding_init=init)(in_deg)
+        x = x + nn.Embed(self.num_out_degrees, d, embedding_init=init)(out_deg)
+        if self.use_graph_token:
+            tok = self.param("graph_token", init, (d,))
+            batch.extras["graph_token_state"] = jnp.broadcast_to(
+                tok[None, :], (batch.num_graphs, d))
         return x

@@ -22,28 +22,39 @@ class GraphormerLayer(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, x, e, train: bool, step=None):
         d, H = self.dim_h, self.num_heads
-        # pre-LN attention
-        h = nn.LayerNorm()(x)
-        xd = batch.dense_view(h)
+        tok = batch.extras.get("graph_token_state")  # (B, d) [CLS] or None
+        seq = batch.dense_view(x)                    # (B, N, d)
         kmask = batch.dense_view(batch.node_mask)
-        q = split_heads(nn.Dense(d)(xd), H)
-        k = split_heads(nn.Dense(d)(xd), H)
-        v = split_heads(nn.Dense(d)(xd), H)
-        bias = batch.extras.get("attn_bias")
+        if tok is not None:
+            # the learned graph token is sequence position 0 through the whole
+            # stack (reference add_graph_token, graphormer_encoder.py:188-208)
+            seq = jnp.concatenate([tok[:, None, :], seq], axis=1)
+            kmask = jnp.concatenate(
+                [jnp.ones((seq.shape[0], 1), bool), kmask], axis=1)
+        # pre-LN attention
+        h = nn.LayerNorm()(seq)
+        q = split_heads(nn.Dense(d)(h), H)
+        k = split_heads(nn.Dense(d)(h), H)
+        v = split_heads(nn.Dense(d)(h), H)
+        bias = batch.extras.get("attn_bias")  # already token-padded if tok
         rng = (self.make_rng("dropout") if train and self.attn_dropout > 0 else None)
         o = mha_core(q, k, v, kmask, bias=bias,
                      dropout_rate=self.attn_dropout if train else 0.0,
                      dropout_rng=rng)
-        h = batch.flat_view(merge_heads(o))
+        h = merge_heads(o)
         h = nn.Dense(d)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        x = x + h
+        seq = seq + h
         # pre-LN MLP
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm()(seq)
         h = nn.gelu(nn.Dense(d)(h))
         h = nn.Dropout(self.mlp_dropout, deterministic=not train)(h)
         h = nn.Dense(d)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        x = x + h
+        seq = seq + h
+        if tok is not None:
+            batch.extras["graph_token_state"] = seq[:, 0, :]
+            seq = seq[:, 1:, :]
+        x = batch.flat_view(seq)
         x = jnp.where(batch.node_mask[:, None], x, 0.0)
         return x, e

@@ -35,8 +35,12 @@ def global_max_pool(x: jax.Array, batch: GraphBatch) -> jax.Array:
 
 @register_pooling("graph_token")
 def graph_token_pool(x: jax.Array, batch: GraphBatch) -> jax.Array:
-    """Take node 0 of each graph — the Graphormer [CLS] token
-    (reference pooling/graph_token.py:5-12)."""
+    """The Graphormer [CLS] token (reference pooling/graph_token.py:5-12).
+    With ``graphormer.use_graph_token`` the learned token state threaded
+    through the layer stack is used; otherwise dense node 0 of each graph."""
+    tok = batch.extras.get("graph_token_state")
+    if tok is not None:
+        return tok
     return batch.dense_view(x)[:, 0, :]
 
 

@@ -59,10 +59,14 @@ def _make_node_encoder(name: str, dim_emb: int, cfg: CfgNode):
         return node_encoder_dict[name](dim_pe=cfg.posenc_EquivStableLapPE.dim_pe)
     if name == "GraphormerBias":
         p = cfg.posenc_GraphormerBias
+        # the graph token only makes sense for the Graphormer network stack;
+        # GPS's BiasedTransformer consumes the unpadded (N, N) bias
+        use_token = (cfg.graphormer.use_graph_token
+                     and cfg.model.type == "Graphormer")
         return node_encoder_dict[name](
             num_heads=cfg.graphormer.num_heads, num_spatial_types=p.num_spatial_types,
             num_in_degrees=p.num_in_degrees, num_out_degrees=p.num_out_degrees,
-            node_degrees_only=p.node_degrees_only)
+            node_degrees_only=p.node_degrees_only, use_graph_token=use_token)
     if name in node_encoder_dict:  # custom registry entries (dim_emb-only ctor)
         return node_encoder_dict[name](dim_emb=dim_emb)
     raise ValueError(f"unknown node encoder {name!r}")
@@ -250,8 +254,14 @@ class GraphormerNet(nn.Module):
         cfg = self.cfg
         d = cfg.graphormer.embed_dim
         x, e = FeatureEncoder(cfg=cfg, dim_h=d)(batch, train)
-        x = nn.Dropout(cfg.graphormer.input_dropout,
-                       deterministic=not train)(x)
+        drop = nn.Dropout(cfg.graphormer.input_dropout,
+                          deterministic=not train)
+        x = drop(x)
+        if "graph_token_state" in batch.extras:
+            # input dropout covers the [CLS] token too (reference
+            # NodeEncoder.forward, graphormer_encoder.py:246-248)
+            batch.extras["graph_token_state"] = drop(
+                batch.extras["graph_token_state"])
         for _ in range(cfg.graphormer.num_layers):
             x, e = GraphormerLayer(dim_h=d, num_heads=cfg.graphormer.num_heads,
                                    dropout=cfg.graphormer.dropout,
