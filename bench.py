@@ -7,9 +7,11 @@ Metric: edges/sec/chip through the full jitted training step on the flagship GPS
 model (GINE+Transformer, RWSE-20, 10 layers, dim 64 — the reference's ZINC recipe,
 /root/reference/configs/GPS/zinc-GPS+RWSE.yaml) at the recipe's batch size 32.
 
-Methodology: after one compile/warmup step, time 5 windows of 100 steps and take
-the MEDIAN window (the axon TPU tunnel exhibits occasional multi-ms latency
-spikes unrelated to device time; the median window is robust to them).
+Methodology: after one compile/warmup step, time 5 windows of 300 steps and take
+the MIN window: the axon TPU tunnel exhibits occasional multi-ms latency spikes
+unrelated to device time, so the fastest window is the best estimator of device
+capability (bench_scaling.py reports the median instead; both are recorded in
+docs/RESULTS.md with this caveat).
 
 Baseline: the reference is PyTorch+PyG on one A100. The repo publishes no
 throughput numbers (SURVEY.md §6); from the reference's own wall-clock evidence

@@ -126,7 +126,13 @@ def new_cfg() -> CfgNode:
     cfg.bn = _node(eps=1e-5, mom=0.1)
     cfg.accelerator = "auto"           # tpu / cpu / auto
     cfg.devices = 1
-    cfg.mixed_precision = True         # bf16 compute / f32 params+reductions
+    # bf16 storage/compute policy with f32 master params (train/precision.py).
+    # Off by default: on v5e, XLA's default matmul precision already runs f32
+    # matmuls on the MXU via bf16 passes, and measured A/B at ZINC/VOC-512/
+    # PCQM-deep shapes shows the explicit policy's cast overhead outweighs the
+    # HBM savings at GraphGPS model sizes (docs/RESULTS.md). Enable for very
+    # wide models / memory-bound regimes.
+    cfg.mixed_precision = False
     cfg.tensorboard_each_run = False
     cfg.tensorboard_agg = True
 
@@ -201,6 +207,10 @@ def new_cfg() -> CfgNode:
         full_graph=True, gamma=1e-5, gamma_learnable=False,
         pna_degrees=[], dropout=0.0, attn_dropout=0.0,
         layer_norm=False, batch_norm=True, residual=True,
+        # dense-attention implementation: auto (flash dispatch by size),
+        # dense (force XLA MHA), ring (node-axis sequence parallelism over the
+        # mesh 'model' axis — parallel/ring_attention.py)
+        attn_impl="auto",
     )
     cfg.gt.bigbird = _node(
         attention_type="block_sparse", chunk_size_feed_forward=0,

@@ -147,8 +147,14 @@ def run_single(cfg: CfgNode, run_dir: str, mesh=None) -> Dict:
             tx = make_tx(cfg, trainable_mask)
             state.opt_state = tx.init(state.params)
     if mesh is not None:
-        from .parallel.mesh import shard_params
-        state = shard_params(state, mesh)
+        if mesh.shape.get("model", 1) > 1:
+            # tensor parallel: Megatron col/row kernel shards + param-sharded
+            # optimizer moments (parallel/tensor.py); DP rides 'data' as usual
+            from .parallel.tensor import shard_params_tp
+            state = shard_params_tp(state, mesh)
+        else:
+            from .parallel.mesh import shard_params
+            state = shard_params(state, mesh)
     n_params = param_count(state.params)
     cfg.share["params"] = n_params
     log.info("model %s params %d", cfg.model.type, n_params)
@@ -177,9 +183,11 @@ def main(argv=None) -> None:
                         format="%(asctime)s %(levelname)s %(message)s")
 
     mesh = None
-    if cfg.parallel.data_axis > 1 or cfg.parallel.mesh_shape:
-        from .parallel.mesh import make_mesh
+    if (cfg.parallel.data_axis > 1 or cfg.parallel.model_axis > 1
+            or cfg.parallel.mesh_shape):
+        from .parallel.mesh import make_mesh, set_current_mesh
         mesh = make_mesh(cfg)
+        set_current_mesh(mesh)  # ambient mesh for ring attention etc.
         log.info("mesh: %s", mesh)
 
     run_ids, seeds, split_indices = run_loop_settings(cfg, args.repeat)

@@ -165,10 +165,15 @@ def agg_runs(out_dir: str, metric_best: str = "auto",
                 "mae" if "mae" in stats["val"][0] else
                 "ap" if "ap" in stats["val"][0] else "accuracy")
             vals = [e.get(key, 0.0) for e in stats["val"]]
-            best = int(np.argmin(vals) if metric_agg == "argmin" or key in
-                       ("mae", "mse", "rmse", "loss") else np.argmax(vals))
+            best_row = int(np.argmin(vals) if metric_agg == "argmin" or key in
+                           ("mae", "mse", "rmse", "loss") else np.argmax(vals))
+            # record the EPOCH NUMBER, not the row index: with eval_period>1
+            # the train split has one row per epoch while val/test only have
+            # eval-epoch rows, so indexing by position would mix epochs
+            best = int(stats["val"][best_row].get("epoch", best_row))
         else:
-            best = len(stats[splits[0]]) - 1
+            last = stats[splits[0]][-1]
+            best = int(last.get("epoch", len(stats[splits[0]]) - 1))
         best_epochs.append(best)
         for s in splits:
             per_split.setdefault(s, []).append(stats[s])
@@ -193,11 +198,13 @@ def agg_runs(out_dir: str, metric_best: str = "auto",
                             tb.add_scalar(k, v, int(e.get("epoch", 0)))
         except Exception:
             pass
-        # best-epoch stats: each seed contributes its own best val epoch's stats
+        # best-epoch stats: each seed contributes its own best val epoch's
+        # stats, matched by the recorded 'epoch' field (closest ≤ best when
+        # this split has no row at exactly that epoch)
         best_list = []
         for r, be in zip(runs, best_epochs):
-            idx = min(be, len(r) - 1)
-            best_list.append(r[idx])
+            cand = [row for row in r if row.get("epoch", -1) <= be]
+            best_list.append(cand[-1] if cand else r[-1])
         best_agg = agg_dict_list(best_list)
         with open(os.path.join(agg_dir, "best.json"), "w") as f:
             f.write(json.dumps(best_agg) + "\n")

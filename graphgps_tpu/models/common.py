@@ -57,22 +57,25 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
 
+        # statistics in f32 regardless of input dtype (bf16 policy-safe);
+        # output returns to x.dtype so bf16 activations keep flowing
+        xf = x.astype(jnp.float32)
         if train:
             if mask is None:
-                mean = x.mean(axis=0)
-                var = x.var(axis=0)
+                mean = xf.mean(axis=0)
+                var = xf.var(axis=0)
             else:
-                m = mask.astype(x.dtype)[:, None]
+                m = mask.astype(jnp.float32)[:, None]
                 cnt = jnp.maximum(m.sum(), 1.0)
-                mean = (x * m).sum(axis=0) / cnt
-                var = (((x - mean) ** 2) * m).sum(axis=0) / cnt
+                mean = (xf * m).sum(axis=0) / cnt
+                var = (((xf - mean) ** 2) * m).sum(axis=0) / cnt
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
-        return y
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(x.dtype)
 
 
 class MaskedLayerNorm(nn.Module):
@@ -81,7 +84,9 @@ class MaskedLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None,
                  train: bool = False) -> jax.Array:
-        return nn.LayerNorm(epsilon=self.eps)(x)
+        # dtype=x.dtype keeps bf16 activations bf16 (flax computes the
+        # normalization statistics in f32 internally either way)
+        return nn.LayerNorm(epsilon=self.eps, dtype=x.dtype)(x)
 
 
 class Norm(nn.Module):

@@ -185,6 +185,8 @@ class GPSModel(nn.Module):
             dropout=cfg.gt.dropout, attn_dropout=cfg.gt.attn_dropout,
             layer_norm=cfg.gt.layer_norm, batch_norm=cfg.gt.batch_norm,
             log_attn_weights=bool(cfg.train.get("log_attn_weights", False)),
+            attn_impl=cfg.gt.get("attn_impl", "auto"),
+            performer_key_seed=7919 + int(cfg.get("seed", 0)),
             bigbird_block_size=cfg.gt.bigbird.block_size,
             bigbird_num_random_blocks=cfg.gt.bigbird.num_random_blocks,
             bigbird_attention_type=cfg.gt.bigbird.attention_type)

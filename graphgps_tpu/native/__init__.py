@@ -8,6 +8,7 @@ degrades gracefully to the Python path.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import os
 import subprocess
@@ -17,15 +18,36 @@ log = logging.getLogger("graphgps_tpu")
 
 _SRC = os.path.join(os.path.dirname(__file__), "collate.cpp")
 _LIB = os.path.join(os.path.dirname(__file__), "libggps_collate.so")
+_HASH = _LIB + ".srchash"  # sha256 of collate.cpp the .so was built from
 _lock = threading.Lock()
 _lib = None
 _failed = False
+
+
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _lib_current() -> bool:
+    """True when the cached .so was built from the current source on this
+    machine (content hash, not mtime — a fresh clone gives every file the
+    same mtime, which would silently reuse a stale or wrong-arch binary)."""
+    if not os.path.exists(_LIB) or not os.path.exists(_HASH):
+        return False
+    try:
+        with open(_HASH) as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
+        return False
 
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        with open(_HASH, "w") as f:
+            f.write(_src_hash())
         return True
     except Exception as e:
         log.warning("native collate build failed (%s) — using numpy fallback", e)
@@ -40,8 +62,7 @@ def get_lib():
     with _lock:
         if _lib is not None or _failed:
             return _lib
-        if not os.path.exists(_LIB) or (os.path.getmtime(_LIB)
-                                        < os.path.getmtime(_SRC)):
+        if not _lib_current():
             if not _build():
                 _failed = True
                 return None

@@ -97,3 +97,20 @@ def shard_params(tree, mesh: Mesh):
     """
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+
+# ---------------------------------------------------------------------------------
+# Ambient mesh registry: model code (e.g. the GPS ring-attention dispatch)
+# needs the Mesh object for shard_map but is built from cfg alone. The driver
+# publishes the active mesh here; None means single-device execution.
+
+_CURRENT_MESH: Optional[Mesh] = None
+
+
+def set_current_mesh(mesh: Optional[Mesh]) -> None:
+    global _CURRENT_MESH
+    _CURRENT_MESH = mesh
+
+
+def current_mesh() -> Optional[Mesh]:
+    return _CURRENT_MESH

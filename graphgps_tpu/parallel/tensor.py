@@ -16,18 +16,10 @@ Biases stay replicated (small). Anything unmatched is replicated.
 from __future__ import annotations
 
 import re
-from typing import Any, List, Optional, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-# (path regex, PartitionSpec for the kernel) — applied to 2D kernels only.
-DEFAULT_TP_RULES: List[Tuple[str, P]] = [
-    # FFN pair inside GPSLayer: first Dense after attention = up-proj (col),
-    # following Dense = down-proj (row). Flax names them Dense_N in order;
-    # we match by shape instead of index: see _rule_for_shape.
-]
 
 
 def _spec_for(path: str, shape, mesh: Mesh) -> P:
@@ -64,21 +56,42 @@ def tp_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(assign, params)
 
 
+def opt_state_shardings(opt_state, params, p_sh, mesh: Mesh):
+    """Shardings for an optax state: any subtree that mirrors the param tree
+    structure (adam mu/nu, momentum buffers, masked wrappers…) gets the param
+    shardings leaf-for-leaf; everything else (step counts, scalars) is
+    replicated."""
+    rep = NamedSharding(mesh, P())
+    pstruct = jax.tree_util.tree_structure(params)
+
+    def is_param_like(sub):
+        try:
+            return jax.tree_util.tree_structure(sub) == pstruct
+        except Exception:
+            return False
+
+    def assign(sub):
+        if is_param_like(sub):
+            return p_sh
+        return jax.tree_util.tree_map(lambda _: rep, sub)
+
+    return jax.tree_util.tree_map(assign, opt_state, is_leaf=is_param_like)
+
+
 def shard_params_tp(state, mesh: Mesh):
-    """Device-put a TrainState with TP-sharded params (opt state follows the
-    param sharding; batch_stats replicated)."""
+    """Device-put a TrainState with TP-sharded params; optimizer moment
+    buffers are sharded exactly like their parameters (so TP also shards the
+    optimizer memory, Megatron-style); batch_stats replicated."""
     p_sh = tp_shardings(state.params, mesh)
     params = jax.tree_util.tree_map(jax.device_put, state.params, p_sh)
     rep = NamedSharding(mesh, P())
-
-    def put_opt(x):
-        # moment buffers mirror param shapes; shard matching leaves when found
-        return jax.device_put(x, rep)
+    o_sh = opt_state_shardings(state.opt_state, state.params, p_sh, mesh)
+    opt_state = jax.tree_util.tree_map(jax.device_put, state.opt_state, o_sh)
 
     from ..train.loop import TrainState
     return TrainState(
         params=params,
         batch_stats=jax.tree_util.tree_map(lambda x: jax.device_put(x, rep),
                                            state.batch_stats),
-        opt_state=jax.tree_util.tree_map(put_opt, state.opt_state),
+        opt_state=opt_state,
         step=jax.device_put(state.step, rep))

@@ -69,14 +69,22 @@ def _loss_mask(cfg, batch: GraphBatch, pred: jax.Array) -> jax.Array:
 
 def _build_raw_steps(cfg, model, tx):
     """Un-jitted step functions (shared by make_steps and make_fused_steps)."""
+    from .precision import apply_policy
+
+    mp = bool(cfg.get("mixed_precision", False))
 
     def forward_loss(params, batch_stats, batch, rng, step):
-        variables = {"params": params, "batch_stats": batch_stats}
+        # bf16 policy: master params stay f32 outside; compute runs bf16.
+        # The cast happens INSIDE the differentiated function so its transpose
+        # upcasts gradients back to f32 automatically (train/precision.py).
+        params_c, batch_c = apply_policy(params, batch, mp)
+        variables = {"params": params_c, "batch_stats": batch_stats}
         (pred, true), mut = model.apply(
-            variables, batch, True, step,
+            variables, batch_c, True, step,
             rngs={"dropout": rng,
                   "signflip": jax.random.fold_in(rng, 1)},
             mutable=["batch_stats"])
+        pred = pred.astype(jnp.float32)
         mask = _loss_mask(cfg, batch, pred)
         loss = compute_loss(cfg, pred, true, mask)
         return loss, (mut.get("batch_stats", FrozenDict()), pred, true)
@@ -91,9 +99,13 @@ def _build_raw_steps(cfg, model, tx):
                                opt_state=opt_state, step=state.step + 1)
         return new_state, loss, pred, true, _loss_mask(cfg, batch, pred)
 
-    def grad_step(state: TrainState, batch: GraphBatch, rng, grad_accum):
+    def grad_step(state: TrainState, batch_stats, batch: GraphBatch, rng,
+                  grad_accum):
+        # batch_stats is threaded explicitly so each micro-batch normalizes
+        # with the PREVIOUS micro-batch's mutated running stats, matching the
+        # reference's sequential-BN semantics (custom_train.py:33-39)
         (loss, (bs, pred, true)), grads = jax.value_and_grad(
-            forward_loss, has_aux=True)(state.params, state.batch_stats, batch,
+            forward_loss, has_aux=True)(state.params, batch_stats, batch,
                                         rng, jnp.asarray(state.step))
         grad_accum = jax.tree_util.tree_map(jnp.add, grad_accum, grads)
         return grad_accum, bs, loss, pred, true, _loss_mask(cfg, batch, pred)
@@ -106,8 +118,10 @@ def _build_raw_steps(cfg, model, tx):
                           step=state.step + 1)
 
     def eval_step(state: TrainState, batch: GraphBatch):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        pred, true = model.apply(variables, batch, False, mutable=False)
+        params_c, batch_c = apply_policy(state.params, batch, mp)
+        variables = {"params": params_c, "batch_stats": state.batch_stats}
+        pred, true = model.apply(variables, batch_c, False, mutable=False)
+        pred = pred.astype(jnp.float32)
         mask = _loss_mask(cfg, batch, pred)
         loss = compute_loss(cfg, pred, true, mask)
         return loss, pred, true, mask
@@ -122,7 +136,7 @@ def make_steps(cfg, model, tx):
     donate = (0,) if cfg.parallel.donate else ()
     return (jax.jit(raw["train"], donate_argnums=donate),
             jax.jit(raw["grad"],
-                    donate_argnums=(3,) if cfg.parallel.donate else ()),
+                    donate_argnums=(4,) if cfg.parallel.donate else ()),
             jax.jit(raw["apply"], static_argnums=(3,), donate_argnums=donate),
             jax.jit(raw["eval"]))
 
@@ -306,8 +320,10 @@ def train_epoch(cfg, state, loaders_train: BatchLoader, logger: SplitLogger,
         else:
             if n_accum == 0:
                 zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            # thread the mutated batch_stats through the micro-batch chain so
+            # every micro-batch's BN update survives (reference sequential-BN)
             zero_grads, bs_latest, loss, pred, true, mask = grad_step(
-                state, batch, sub, zero_grads)
+                state, bs_latest, batch, sub, zero_grads)
             n_accum += 1
             if n_accum == accum:
                 state = apply_step(state, zero_grads, bs_latest, accum)

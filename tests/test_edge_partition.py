@@ -49,3 +49,132 @@ def test_under_jit(rng):
     ref = jax.ops.segment_sum(data, ids, num_segments=S)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# North-star partitioning: node shards + boundary all-to-all
+# (edge_partitioned_aggregate; VERDICT round-1 item 5)
+# ---------------------------------------------------------------------------
+
+from graphgps_tpu.parallel.edge_partition import (  # noqa: E402
+    edge_partitioned_aggregate, plan_edge_partition)
+
+
+def _random_graph(rng, V=100, E=400):
+    s = rng.integers(0, V, E).astype(np.int64)
+    r = rng.integers(0, V, E).astype(np.int64)
+    return np.stack([s, r])
+
+
+def _dense_ref(x, ei, efeat, msg_fn, V):
+    s, r = ei
+    msgs = msg_fn(x[s], x[r], efeat[s * 0 + np.arange(len(s))] if efeat
+                  is not None else None)
+    return jax.ops.segment_sum(msgs, jnp.asarray(r), num_segments=V)
+
+
+def test_plan_covers_every_edge(rng):
+    ei = _random_graph(rng)
+    plan = plan_edge_partition(ei, 100, 8)
+    n_real = int(plan.int_mask.sum() + plan.bnd_mask.sum())
+    assert n_real == ei.shape[1]
+    # every real boundary edge's sender reference lands in a sent slot
+    sent = plan.send_mask.transpose(1, 0, 2).reshape(plan.num_devices, -1)
+    for dev in range(plan.num_devices):
+        refs = plan.bnd_send[dev][plan.bnd_mask[dev]]
+        # inbox slot src*K+k is filled iff src actually sent slot k to this dev
+        assert plan.send_mask[dev].reshape(-1)[refs].all()
+
+
+def test_aggregate_forward_parity(rng):
+    V, E, D = 100, 400, 8
+    ei = _random_graph(rng, V, E)
+    plan = plan_edge_partition(ei, V, 8)
+    Vp = plan.padded_nodes
+    x = np.zeros((Vp, D), np.float32)
+    x[:V] = rng.normal(size=(V, D))
+    mesh = _mesh()
+
+    out = edge_partitioned_aggregate(jnp.asarray(x), None, plan, mesh)
+    ref = jax.ops.segment_sum(jnp.asarray(x[ei[0]]), jnp.asarray(ei[1]),
+                              num_segments=Vp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_aggregate_gated_message_with_edge_feats(rng):
+    """GatedGCN-style gated message σ(e)·x_s with per-edge features and a
+    receiver term — exercises sender gather, receiver gather, and edge-id
+    indexing together."""
+    V, E, D = 60, 240, 4
+    ei = _random_graph(rng, V, E)
+    efeat = rng.normal(size=(E, D)).astype(np.float32)
+    plan = plan_edge_partition(ei, V, 8)
+    Vp = plan.padded_nodes
+    x = np.zeros((Vp, D), np.float32)
+    x[:V] = rng.normal(size=(V, D))
+    mesh = _mesh()
+
+    def msg(x_s, x_r, e):
+        return jax.nn.sigmoid(e) * x_s + 0.25 * x_r
+
+    out = edge_partitioned_aggregate(jnp.asarray(x), jnp.asarray(efeat), plan,
+                                     mesh, msg_fn=msg)
+    s, r = ei
+    ref_msgs = jax.nn.sigmoid(jnp.asarray(efeat)) * jnp.asarray(x[s]) \
+        + 0.25 * jnp.asarray(x[r])
+    ref = jax.ops.segment_sum(ref_msgs, jnp.asarray(r), num_segments=Vp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_aggregate_cut_edge_gradients_exact(rng):
+    """d loss/d x must accumulate contributions from edges owned by OTHER
+    devices (the all_to_all transpose scatter-adds into the sender shard)."""
+    V, E, D = 64, 256, 4
+    ei = _random_graph(rng, V, E)
+    plan = plan_edge_partition(ei, V, 8)
+    Vp = plan.padded_nodes
+    x = np.zeros((Vp, D), np.float32)
+    x[:V] = rng.normal(size=(V, D))
+    mesh = _mesh()
+
+    def loss_ep(xx):
+        return (edge_partitioned_aggregate(xx, None, plan, mesh) ** 2).sum()
+
+    def loss_ref(xx):
+        agg = jax.ops.segment_sum(xx[ei[0]], jnp.asarray(ei[1]),
+                                  num_segments=Vp)
+        return (agg ** 2).sum()
+
+    g_ep = jax.grad(loss_ep)(jnp.asarray(x))
+    g_ref = jax.grad(loss_ref)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_ep), np.asarray(g_ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_aggregate_under_jit_with_sharded_nodes(rng):
+    """The aggregate composes with jit + NamedSharding node shards (the
+    production giant-graph configuration)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    V, E, D = 80, 320, 4
+    ei = _random_graph(rng, V, E)
+    plan = plan_edge_partition(ei, V, 8)
+    Vp = plan.padded_nodes
+    x = np.zeros((Vp, D), np.float32)
+    x[:V] = rng.normal(size=(V, D))
+    mesh = _mesh()
+    xs = jax.device_put(jnp.asarray(x),
+                        NamedSharding(mesh, PartitionSpec("data", None)))
+
+    @jax.jit
+    def step(xx):
+        agg = edge_partitioned_aggregate(xx, None, plan, mesh)
+        return agg * 2.0
+
+    out = step(xs)
+    ref = jax.ops.segment_sum(jnp.asarray(x[ei[0]]), jnp.asarray(ei[1]),
+                              num_segments=Vp) * 2.0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)

@@ -22,6 +22,7 @@ def test_eight_devices_present():
 
 def _setup(batch_size=8, optimizer="adamW"):
     cfg = new_cfg()
+    cfg.mixed_precision = False    # parity tests check sharding math in f32
     cfg.optim.optimizer = optimizer
     cfg.dataset.synth_num_graphs = 32
     cfg.dataset.synth_max_nodes = 12
@@ -130,3 +131,54 @@ def test_dp_with_device_assembled_batch(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(pred_1), np.asarray(pred_8),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dp_train_step_with_batchnorm_matches_single_device():
+    """Sync-BN by construction (models/common.py MaskedBatchNorm docstring):
+    statistics are computed inside the global-view jitted graph, so the DP
+    train step — including the mutated running stats — matches single-device
+    execution bit-for-bit up to reduction-order noise."""
+    def bn_setup():
+        cfg = new_cfg()
+        cfg.mixed_precision = False  # exact-parity test → f32
+        cfg.optim.optimizer = "sgd"
+        cfg.dataset.synth_num_graphs = 32
+        cfg.dataset.synth_max_nodes = 12
+        cfg.train.batch_size = 8
+        cfg.gt.layers = 1
+        cfg.gt.dim_hidden = 16
+        cfg.gt.n_heads = 2
+        cfg.gt.batch_norm = True
+        cfg.gt.layer_norm = False
+        ds = load_dataset(cfg)
+        dim_out = infer_dims(cfg, ds)
+        gb = collate(ds.train[:8], 8, 16, 512).to_graph_batch()
+        model = build_model(cfg, dim_out)
+        tx = make_tx(cfg)
+        state = L.init_state(cfg, model, gb, 0, tx)
+        return cfg, model, tx, state, gb
+
+    cfg, model, tx, state, gb = bn_setup()
+    train_step, _, _, _ = L.make_steps(cfg, model, tx)
+    rngk = jax.random.PRNGKey(3)
+    s1, loss1, _, _, _ = train_step(state, gb, rngk)
+    bs1 = jax.device_get(s1.batch_stats)
+
+    cfg2, model2, tx2, state2, gb2 = bn_setup()
+    mesh = make_mesh(devices=jax.devices())
+    train_step2, _, _, _ = L.make_steps(cfg2, model2, tx2)
+    s8, loss8, _, _, _ = train_step2(shard_params(state2, mesh),
+                                     shard_batch(gb2, mesh), rngk)
+    np.testing.assert_allclose(np.asarray(loss1), np.asarray(loss8),
+                               rtol=1e-5, atol=1e-6)
+    bs8 = jax.device_get(s8.batch_stats)
+    flat1 = jax.tree_util.tree_leaves(bs1)
+    flat8 = jax.tree_util.tree_leaves(bs8)
+    assert flat1  # BatchNorm stats exist
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
