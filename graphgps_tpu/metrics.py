@@ -275,3 +275,135 @@ def compute_task_metrics(task_type: str, pred: np.ndarray, true: np.ndarray,
                 f1s.append(stats["f1"])
             out["f1"] = float(np.mean(f1s)) if f1s else 0.0
     return out
+
+
+# ---------------------------------------------------------------------------------
+# MetricWrapper: named metric + thresholding + NaN-target policies
+# (capability parity with /root/reference/graphgps/metric_wrapper.py:25-329)
+
+METRICS_DICT = {
+    "mae": mae,
+    "mse": mse,
+    "rmse": rmse,
+    "accuracy": lambda p, t: accuracy(np.asarray(p), np.asarray(t)),
+    "auroc": auroc,
+    "averageprecision": average_precision,
+    "f1": lambda p, t: precision_recall_f1(np.asarray(p), np.asarray(t))["f1"],
+    "precision": lambda p, t: precision_recall_f1(
+        np.asarray(p), np.asarray(t))["precision"],
+    "recall": lambda p, t: precision_recall_f1(
+        np.asarray(p), np.asarray(t))["recall"],
+    "pearsonr": pearsonr,
+    "spearmanr": spearmanr,
+}
+
+
+class Thresholder:
+    """Apply a scalar threshold to predictions (and optionally targets)
+    before a metric (reference metric_wrapper.py:25-86)."""
+
+    def __init__(self, threshold: float, operator: str = "greater",
+                 th_on_preds: bool = True, th_on_target: bool = False,
+                 target_to_int: bool = False):
+        self.threshold = threshold
+        self.th_on_preds = th_on_preds
+        self.th_on_target = th_on_target
+        self.target_to_int = target_to_int
+        name = operator.lower() if isinstance(operator, str) else operator
+        if name in ("greater", "gt"):
+            self.operator, self.op_str = np.greater, ">"
+        elif name in ("lower", "lt"):
+            self.operator, self.op_str = np.less, "<"
+        elif callable(operator):
+            self.operator, self.op_str = operator, operator.__name__
+        else:
+            raise ValueError(f"operator {operator!r} not supported")
+
+    def __call__(self, preds, target):
+        if self.th_on_preds:
+            preds = self.operator(preds, self.threshold)
+        if self.th_on_target:
+            target = self.operator(target, self.threshold)
+        if self.target_to_int:
+            target = target.astype(np.int64)
+        return preds, target
+
+    def __repr__(self):
+        return f"x {self.op_str} {self.threshold}"
+
+
+class MetricWrapper:
+    """Named/callable metric with optional thresholding and 4 NaN-target
+    policies (reference metric_wrapper.py:196-329):
+
+    - ``None``: NaNs reach the metric untouched;
+    - int/float: NaN targets replaced by the value;
+    - ``'ignore-flatten'``: drop NaN-target entries from the flattened pair;
+    - ``'ignore-mean-label'``: compute the metric per COLUMN over that
+      column's non-NaN rows, skip degenerate columns (single-class, like the
+      OGB evaluator), average the rest. ``per_column=True`` additionally
+      returns the per-column values.
+    """
+
+    def __init__(self, metric, threshold_kwargs=None, target_nan_mask=None,
+                 per_column: bool = False, **kwargs):
+        self.metric = METRICS_DICT[metric] if isinstance(metric, str) else metric
+        self.thresholder = (Thresholder(**threshold_kwargs)
+                            if threshold_kwargs is not None else None)
+        self.target_nan_mask = target_nan_mask
+        self.per_column = per_column
+        self.kwargs = kwargs
+
+    def compute(self, preds, target):
+        preds = np.asarray(preds, dtype=np.float64)
+        target = np.asarray(target, dtype=np.float64)
+        if preds.ndim == 1:
+            preds = preds[:, None]
+        if target.ndim == 1:
+            target = target[:, None]
+        nans = np.isnan(target)
+
+        if self.thresholder is not None:
+            preds, target = self.thresholder(preds, target)
+        target = np.asarray(target, dtype=np.float64)
+
+        mask_kind = self.target_nan_mask
+        if mask_kind is None:
+            pass
+        elif isinstance(mask_kind, (int, float)) and not isinstance(mask_kind,
+                                                                    bool):
+            target = target.copy()
+            target[nans] = mask_kind
+        elif mask_kind == "ignore-flatten":
+            preds, target = preds[~nans], target[~nans]
+        elif mask_kind != "ignore-mean-label":
+            raise ValueError(f"Invalid option `{mask_kind}`")
+
+        if mask_kind == "ignore-mean-label":
+            per_col = []
+            for ii in range(target.shape[-1]):
+                keep = ~nans[..., ii]
+                t, p = target[keep, ii], preds[keep, ii]
+                if t.size == 0 or np.unique(t).size < 2:
+                    # degenerate column (no rows / single class): skipped,
+                    # like the OGB evaluator / torchmetrics-warning catch
+                    per_col.append(np.nan)
+                    continue
+                try:
+                    per_col.append(float(self.metric(p, t, **self.kwargs)))
+                except Exception:
+                    per_col.append(np.nan)
+            val = float(np.nanmean(per_col)) if np.isfinite(
+                np.asarray(per_col, dtype=np.float64)).any() else float("nan")
+            if self.per_column:
+                return val, per_col
+            return val
+        val = float(self.metric(preds, target, **self.kwargs))
+        return val
+
+    def __call__(self, preds, target):
+        return self.compute(preds, target)
+
+    def __repr__(self):
+        name = getattr(self.metric, "__name__", str(self.metric))
+        return f"{name}({self.thresholder})" if self.thresholder else name

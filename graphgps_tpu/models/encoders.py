@@ -304,8 +304,17 @@ class EquivStableLapPEEncoder(nn.Module):
 
 @register_node_encoder("SignNet")
 class SignNetNodeEncoder(nn.Module):
-    """SignNet: φ(v)+φ(−v) per eigenvector channel via a GIN, then ρ-MLP
-    (reference signnet_pos_encoder.py:110-278, GINDeepSigns)."""
+    """SignNet: φ(v)+φ(−v) per eigenvector channel via a GIN, then ρ
+    (reference signnet_pos_encoder.py:110-278).
+
+    ρ variants per ``posenc_SignNet.model``:
+    - ``MLP`` (GINDeepSigns): channels concatenated over the fixed K and fed
+      to an MLP;
+    - ``DeepSet`` (MaskedGINDeepSigns, reference :134-173): channel k of a
+      graph with n nodes is masked out when k ≥ n (eigenvectors beyond the
+      graph's size do not exist), channels are SUM-pooled — a DeepSet over a
+      VARIABLE number of frequencies — then the ρ-MLP maps to dim_pe.
+    """
 
     dim_pe: int
     phi_hidden_dim: int = 64
@@ -313,6 +322,7 @@ class SignNetNodeEncoder(nn.Module):
     layers: int = 3          # GIN layers in φ
     post_layers: int = 2     # ρ MLP layers
     max_freqs: int = 10
+    model: str = "MLP"       # MLP (fixed k) / DeepSet (masked variable k)
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x, train: bool):
@@ -326,32 +336,55 @@ class SignNetNodeEncoder(nn.Module):
 
         # Sign-invariant φ(v) + φ(−v): same submodule (shared params) on ±v.
         stack = _GINStack(self.layers, self.phi_hidden_dim, self.phi_out_dim)
-        hpos = stack(v, sender_idx, receiver_idx, emask, batch.num_node_slots)
-        hneg = stack(-v, sender_idx, receiver_idx, emask, batch.num_node_slots)
+        hpos = stack(v, sender_idx, receiver_idx, emask, batch.num_node_slots,
+                     batch.node_mask, train)
+        hneg = stack(-v, sender_idx, receiver_idx, emask, batch.num_node_slots,
+                     batch.node_mask, train)
         h = hpos + hneg                                      # (K, S, phi_out)
-        h = jnp.where(freq_mask.T[..., None], h, 0.0)
-        h = h.transpose(1, 0, 2).reshape(evecs.shape[0], K * self.phi_out_dim)
+        if self.model == "DeepSet":
+            # mask channel k for nodes of graphs with n ≤ k nodes
+            # (reference batched_n_nodes + mask, signnet_pos_encoder.py:148-170)
+            n_per_slot = batch.nodes_per_graph[batch.graph_id]   # (S,)
+            kmask = jnp.arange(K)[:, None] < n_per_slot[None, :]  # (K, S)
+            h = jnp.where(kmask[..., None], h, 0.0)
+            h = h.sum(axis=0)                                # DeepSet sum → (S, phi_out)
+        else:
+            h = jnp.where(freq_mask.T[..., None], h, 0.0)
+            h = h.transpose(1, 0, 2).reshape(
+                evecs.shape[0], K * self.phi_out_dim)
         pe = MLP(hidden_dim=self.dim_pe, out_dim=self.dim_pe,
                  num_layers=self.post_layers)(h)
         return jnp.concatenate([x, pe], axis=-1) if x is not None else pe
 
 
 class _GINStack(nn.Module):
+    """φ GIN over per-channel eigenvector signals, with BatchNorm between
+    layers like the reference (signnet_pos_encoder.py GIN use_bn=True) —
+    without it the PE magnitudes blow up and kill downstream ReLU stacks."""
+
     layers: int
     hidden: int
     out: int
 
     @nn.compact
-    def __call__(self, z, senders, receivers, emask, num_slots):
+    def __call__(self, z, senders, receivers, emask, num_slots,
+                 node_mask=None, train: bool = False):
         from ..ops.segment import segment_sum
+        from .common import MaskedBatchNorm
 
         h = z  # (K, S, d)
+        K = h.shape[0]
         for li in range(self.layers):
             msgs = h[:, senders, :] * emask[None, :, None]
             agg = jax.vmap(lambda m: segment_sum(m, receivers, num_slots))(msgs)
             out_dim = self.hidden if li < self.layers - 1 else self.out
             h = MLP(hidden_dim=self.hidden, out_dim=out_dim, num_layers=2,
                     with_final_act=True)(h + agg)
+            if li < self.layers - 1:
+                flat = h.reshape(K * num_slots, -1)
+                m = (jnp.tile(node_mask, K) if node_mask is not None else None)
+                flat = MaskedBatchNorm()(flat, m, train)
+                h = flat.reshape(K, num_slots, -1)
         return h
 
 

@@ -54,7 +54,8 @@ def _make_node_encoder(name: str, dim_emb: int, cfg: CfgNode):
         return node_encoder_dict[name](
             dim_pe=p.dim_pe, phi_hidden_dim=p.phi_hidden_dim,
             phi_out_dim=p.phi_out_dim, layers=p.layers,
-            post_layers=max(1, p.post_layers), max_freqs=p.eigen.max_freqs)
+            post_layers=max(1, p.post_layers), max_freqs=p.eigen.max_freqs,
+            model=p.model if p.model in ("MLP", "DeepSet") else "MLP")
     if name == "EquivStableLapPE":
         return node_encoder_dict[name](dim_pe=cfg.posenc_EquivStableLapPE.dim_pe)
     if name == "GraphormerBias":
@@ -100,6 +101,13 @@ class FeatureEncoder(nn.Module):
                 x = enc(batch, None, train)
                 if cfg.dataset.node_encoder_bn:
                     x = MaskedBatchNorm()(x, batch.node_mask, train)
+            elif dim_pe_total < self.dim_h and batch.node_feat is not None:
+                # PE-only encoder name (e.g. 'LapPE' on MalNet/PATTERN): the
+                # reference's expand_x projects the raw features to
+                # dim_emb - dim_pe before concatenating the PE
+                # (laplace_pos_encoder.py:44-49)
+                x = nn.Dense(self.dim_h - dim_pe_total)(
+                    batch.node_feat.astype(jnp.float32))
             for p in pe_names:
                 x = _make_node_encoder(p, 0, cfg)(batch, x, train)
         else:
@@ -142,6 +150,8 @@ def _make_head(cfg: CfgNode, dim_in: int, dim_out: int):
     name = cfg.gnn.head
     common = dict(dim_in=dim_in, dim_out=dim_out)
     if name == "san_graph":
+        # the reference head hard-codes L=2 hidden halving layers + output
+        # (san_graph.py:19-27) independent of gnn.layers_post_mp
         return head_dict[name](pooling=cfg.model.graph_pooling, **common)
     if name in ("default", "graph"):
         return head_dict["default"](pooling=cfg.model.graph_pooling,
@@ -197,8 +207,9 @@ class GPSModel(nn.Module):
             body = GPSScanBody
             if cfg.parallel.remat:
                 # GPSScanBody.__call__(carry, batch, train, step, idx):
-                # train (the only static bool) is argument index 2
-                body = nn.remat(body, static_argnums=(2,))
+                # under nn.scan the lifted fn sees (scope, carry, batch,
+                # train, step, idx), so the static bool `train` is index 3
+                body = nn.remat(body, static_argnums=(3,))
             Scan = nn.scan(
                 body,
                 variable_axes={"params": 0, "batch_stats": 0},

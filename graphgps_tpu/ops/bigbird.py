@@ -25,22 +25,22 @@ import numpy as np
 
 @functools.lru_cache(maxsize=64)
 def _block_plan(n_tokens: int, block_size: int, num_random_blocks: int,
-                seed: int = 0, num_global_blocks: int = 2,
-                window: int = 3) -> np.ndarray:
-    """(nb, nb) bool BLOCK plan: first ``num_global_blocks`` block-rows/cols
-    global + ``window``-block sliding diagonal + ``num_random_blocks`` random
-    key blocks per query block (seeded, static)."""
+                seed: int = 0, window: int = 3) -> np.ndarray:
+    """(nb, nb) bool BLOCK plan: FIRST and LAST block-rows/cols global (the
+    reference's global semantics — 'global keys -> 1st & last block',
+    bigbird_layer.py:494,517-523) + ``window``-block sliding diagonal +
+    ``num_random_blocks`` random key blocks per query block (seeded, static,
+    matching the reference's seeded plans bigbird_layer.py:868-1057)."""
     nb = -(-n_tokens // block_size)
     bm = np.zeros((nb, nb), dtype=bool)
-    g = num_global_blocks
-    bm[:g, :] = True
-    bm[:, :g] = True
+    bm[0, :] = bm[-1, :] = True     # first/last query blocks attend everything
+    bm[:, 0] = bm[:, -1] = True     # everyone attends first/last key blocks
     half = window // 2
     for i in range(nb):
         lo, hi = max(0, i - half), min(nb, i + half + 1)
         bm[i, lo:hi] = True
     rng = np.random.default_rng(seed)
-    for i in range(g, nb):
+    for i in range(1, nb - 1):      # middle query blocks draw random keys
         candidates = [j for j in range(nb)
                       if not bm[i, j]]
         if candidates:
@@ -55,11 +55,9 @@ def _block_plan(n_tokens: int, block_size: int, num_random_blocks: int,
 
 @functools.lru_cache(maxsize=64)
 def bigbird_block_mask(n_tokens: int, block_size: int, num_random_blocks: int,
-                       seed: int = 0, num_global_blocks: int = 2,
-                       window: int = 3) -> np.ndarray:
+                       seed: int = 0, window: int = 3) -> np.ndarray:
     """(N, N) bool mask: True where attention is allowed (dense expansion of
     the block plan — for the dense-masked execution path at moderate N)."""
-    bm = _block_plan(n_tokens, block_size, num_random_blocks, seed,
-                     num_global_blocks, window)
+    bm = _block_plan(n_tokens, block_size, num_random_blocks, seed, window)
     dense = np.kron(bm, np.ones((block_size, block_size), dtype=bool))
     return dense[:n_tokens, :n_tokens]

@@ -62,18 +62,38 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, key_mask: jax.Array,
     return out[..., :Dh]
 
 
+_warned_dropout_dense = False
+
+
 def mha(q, k, v, key_mask, bias=None, dropout_rate: float = 0.0,
         dropout_rng=None, return_attn: bool = False):
     """Size-dispatched masked MHA: Pallas flash for large N, XLA dense otherwise.
 
-    NOTE the flash path applies scaling internally, so the caller must NOT
-    pre-scale q; attention dropout and attn-weight capture force the dense path
-    (flash never materializes the weights).
+    Dispatch contract (documented + tested, tests/test_flash_mha.py):
+    - the flash path applies softmax scaling internally (caller must NOT
+      pre-scale q);
+    - attention-weight DROPOUT and attn-weight capture force the dense path,
+      because flash never materializes the (N, N) weights. Consequently a
+      recipe with ``gt.attn_dropout > 0`` trains on the O(N²) dense path even
+      at VOC/COCO node counts (eval still uses flash since dropout is off);
+      drop ``attn_dropout`` (most LRGB GPS recipes use 0.0) or accept the
+      dense cost. A one-time warning is logged when dropout forces dense at a
+      size flash would otherwise take.
     """
     from ..mha import mha_core
 
     B, H, N, Dh = q.shape
-    if (not return_attn and dropout_rate == 0.0 and flash_available(N, Dh)):
-        return flash_mha(q, k, v, key_mask, bias)
+    if not return_attn and flash_available(N, Dh):
+        if dropout_rate == 0.0:
+            return flash_mha(q, k, v, key_mask, bias)
+        global _warned_dropout_dense
+        if not _warned_dropout_dense:
+            _warned_dropout_dense = True
+            import logging
+
+            logging.getLogger("graphgps_tpu").warning(
+                "attn_dropout=%.2f forces dense O(N²) attention at N=%d where"
+                " flash would engage — set gt.attn_dropout 0.0 for the flash"
+                " path in training", dropout_rate, N)
     return mha_core(q, k, v, key_mask, bias=bias, dropout_rate=dropout_rate,
                     dropout_rng=dropout_rng, return_attn=return_attn)

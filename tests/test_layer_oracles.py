@@ -165,8 +165,10 @@ def test_bigbird_mask_structure():
     n, bs, nrand = 30, 3, 2
     m = bigbird_block_mask(n, bs, nrand, seed=0)
     assert m.shape == (n, n)
-    # global rows/cols (first 2 blocks = 6 tokens)
-    assert m[:6, :].all() and m[:, :6].all()
+    # reference global semantics: FIRST and LAST blocks
+    # (bigbird_layer.py:494,517-523) — rows and columns
+    assert m[:bs, :].all() and m[-bs:, :].all()
+    assert m[:, :bs].all() and m[:, -bs:].all()
     # sliding window: diagonal always allowed
     assert np.diag(m).all()
     # deterministic per seed
@@ -174,3 +176,24 @@ def test_bigbird_mask_structure():
     np.testing.assert_array_equal(m, m2)
     m3 = bigbird_block_mask(n, bs, nrand, seed=1)
     assert (m != m3).any()
+
+
+def test_bigbird_mask_matches_reference_oracle():
+    """Block-pattern equivalence vs a numpy oracle of the reference semantics
+    (bigbird_block_sparse_attention parts 1-5, bigbird_layer.py:316-765):
+    first/last query blocks attend everything; middle query blocks attend the
+    first/last key blocks + a 3-block sliding window + n random key blocks."""
+    n, bs, nrand = 48, 4, 2
+    nb = n // bs
+    m = bigbird_block_mask(n, bs, nrand, seed=0)
+    # collapse back to block granularity
+    blocks = m.reshape(nb, bs, nb, bs).any(axis=(1, 3))
+    assert blocks[0].all() and blocks[-1].all()          # parts 1 & 5
+    for i in range(1, nb - 1):                           # parts 2-4
+        expected_fixed = {0, nb - 1, i - 1, i, i + 1}
+        on = set(np.nonzero(blocks[i])[0].tolist())
+        assert expected_fixed <= on
+        n_random = len(on - expected_fixed)
+        assert n_random <= nrand                         # seeded random keys
+    # middle rows are sparse, not global
+    assert not blocks[1:-1].all()

@@ -72,3 +72,31 @@ def test_bigbird_net_trains():
     train_step, _, _, _ = L.make_steps(cfg, model, tx)
     state2, loss, *_ = train_step(state, gb, jax.random.PRNGKey(0))
     assert np.isfinite(float(np.asarray(loss)))
+
+
+def test_scan_with_remat_trains():
+    """scan_layers + remat together (the deep-recipe configuration): the
+    remat'd scan body must mark `train` static at the lifted-arg index."""
+    import jax
+    import numpy as np
+
+    import graphgps_tpu.train.loop as L
+    from graphgps_tpu.optim.optimizers import make_tx
+
+    cfg = new_cfg()
+    cfg.dataset.synth_num_graphs = 24
+    cfg.dataset.synth_max_nodes = 12
+    cfg.gt.layers = 3
+    cfg.gt.dim_hidden = 16
+    cfg.gt.n_heads = 2
+    cfg.gnn.dim_inner = 16
+    cfg.parallel.scan_layers = True
+    cfg.parallel.remat = True
+    ds = load_dataset(cfg)
+    gb = collate(ds.train[:4], 4, 16, 256, y_graph_level=True).to_graph_batch()
+    model = build_model(cfg, 1)
+    tx = make_tx(cfg)
+    state = L.init_state(cfg, model, gb, 0, tx)
+    train_step, _, _, _ = L.make_steps(cfg, model, tx)
+    state, loss, *_ = train_step(state, gb, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))

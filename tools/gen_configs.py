@@ -1,0 +1,468 @@
+#!/usr/bin/env python3
+"""Generate the benchmark recipe suite under configs/.
+
+Each recipe mirrors the hyperparameters of the corresponding published
+GraphGPS recipe (cited in the emitted header) expressed in THIS framework's
+config schema. Run from the repo root:
+
+    python tools/gen_configs.py
+
+Idempotent: rewrites every generated file; hand-maintained recipes listed in
+KEEP are never touched.
+"""
+from __future__ import annotations
+
+import os
+
+import yaml
+
+KEEP = {
+    "GPS/zinc-GPS+RWSE.yaml", "GPS/ogbg-molpcba-GPS+RWSE.yaml",
+    "GPS/pattern-GPS.yaml", "GPS/pcqm4m-GPSmedium+RWSE.yaml",
+    "GPS/peptides-func-GPS.yaml", "GPS/vocsuperpixels-GPS.yaml",
+    "SAN/zinc-SAN.yaml", "Graphormer/zinc-Graphormer.yaml",
+}
+
+
+def lap_pe(max_freqs=10, dim_pe=16, layers=2, norm="none", model="DeepSet",
+           n_heads=4):
+    return {"enable": True,
+            "eigen": {"laplacian_norm": norm, "eigvec_norm": "L2",
+                      "max_freqs": max_freqs},
+            "model": model, "dim_pe": dim_pe, "layers": layers,
+            "n_heads": n_heads}
+
+
+def rwse(dim_pe=16, k=17):
+    return {"enable": True, "kernel": {"times_func": f"range(1,{k})"},
+            "model": "Linear", "dim_pe": dim_pe, "raw_norm_type": "BatchNorm"}
+
+
+def gps_gt(layer_type, layers, heads, dim, dropout=0.0, attn_dropout=0.5):
+    return {"layer_type": layer_type, "layers": layers, "n_heads": heads,
+            "dim_hidden": dim, "dropout": dropout,
+            "attn_dropout": attn_dropout, "layer_norm": False,
+            "batch_norm": True}
+
+
+def gnn(head, dim, post=3, act="relu", **kw):
+    return dict({"head": head, "layers_pre_mp": 0, "layers_post_mp": post,
+                 "dim_inner": dim, "batchnorm": True, "act": act,
+                 "dropout": 0.0}, **kw)
+
+
+def adamw_cosine(lr, epochs, warmup, wd=1e-5, clip=True, **kw):
+    return dict({"clip_grad_norm": clip, "optimizer": "adamW",
+                 "weight_decay": wd, "base_lr": lr, "max_epoch": epochs,
+                 "scheduler": "cosine_with_warmup",
+                 "num_warmup_epochs": warmup}, **kw)
+
+
+def plateau(lr, epochs, patience, optimizer="adamW", wd=0.0, factor=0.5,
+            min_lr=1e-5, **kw):
+    return dict({"optimizer": optimizer, "weight_decay": wd, "base_lr": lr,
+                 "max_epoch": epochs, "scheduler": "reduce_on_plateau",
+                 "reduce_factor": factor, "schedule_patience": patience,
+                 "min_lr": min_lr}, **kw)
+
+
+def zinc_ds(node_enc):
+    return {"format": "PyG-ZINC", "name": "subset", "task": "graph",
+            "task_type": "regression", "node_encoder": True,
+            "node_encoder_name": node_enc, "node_encoder_num_types": 28,
+            "edge_encoder": True, "edge_encoder_name": "TypeDictEdge",
+            "edge_encoder_num_types": 4}
+
+
+def mol_ds(name, node_enc, task_type, edge_enc="Bond"):
+    return {"format": "OGB", "name": name, "task": "graph",
+            "task_type": task_type, "node_encoder": True,
+            "node_encoder_name": node_enc, "edge_encoder": True,
+            "edge_encoder_name": edge_enc}
+
+
+def bench_ds(name, node_enc="LapPE", edge_enc="DummyEdge",
+             task="graph", task_type="classification"):
+    return {"format": "PyG-GNNBenchmarkDataset", "name": name, "task": task,
+            "task_type": task_type, "node_encoder": True,
+            "node_encoder_name": node_enc, "edge_encoder": True,
+            "edge_encoder_name": edge_enc}
+
+
+# recipe name -> (reference file, config dict)
+RECIPES = {
+    # ----------------------------------------------------------- GPS / ZINC
+    "GPS/zinc-GPS.yaml": ("configs/GPS/zinc-GPS.yaml", {
+        "metric_best": "mae", "metric_agg": "argmin",
+        "dataset": zinc_ds("TypeDictNode+LapPE"),
+        "posenc_LapPE": lap_pe(max_freqs=8, dim_pe=8),
+        "train": {"batch_size": 32},
+        "model": {"type": "GPSModel", "loss_fun": "l1",
+                  "graph_pooling": "add"},
+        "gt": gps_gt("GINE+Transformer", 10, 4, 64),
+        "gnn": gnn("san_graph", 64),
+        "optim": adamw_cosine(0.001, 2000, 50),
+    }),
+    "GPS/zinc-GPS+SNDS.yaml": ("configs/GPS/zinc-GPS+SNDS.yaml", {
+        "metric_best": "mae", "metric_agg": "argmin",
+        "dataset": zinc_ds("TypeDictNode+SignNet"),
+        "posenc_SignNet": {"enable": True, "model": "DeepSet", "dim_pe": 28,
+                           "layers": 8, "post_layers": 3,
+                           "phi_hidden_dim": 64, "phi_out_dim": 64,
+                           "eigen": {"laplacian_norm": "none",
+                                     "eigvec_norm": "L2", "max_freqs": 37}},
+        "train": {"batch_size": 32},
+        "model": {"type": "GPSModel", "loss_fun": "l1",
+                  "graph_pooling": "add"},
+        "gt": gps_gt("GINE+Transformer", 10, 4, 64),
+        "gnn": gnn("san_graph", 64),
+        "optim": adamw_cosine(0.001, 2000, 50),
+    }),
+    "GPS/zinc-GPS+SNMLP.yaml": ("configs/GPS/zinc-GPS+SNMLP.yaml", {
+        "metric_best": "mae", "metric_agg": "argmin",
+        "dataset": zinc_ds("TypeDictNode+SignNet"),
+        "posenc_SignNet": {"enable": True, "model": "MLP", "dim_pe": 28,
+                           "layers": 8, "post_layers": 3,
+                           "phi_hidden_dim": 64, "phi_out_dim": 4,
+                           "eigen": {"laplacian_norm": "none",
+                                     "eigvec_norm": "L2", "max_freqs": 37}},
+        "train": {"batch_size": 32},
+        "model": {"type": "GPSModel", "loss_fun": "l1",
+                  "graph_pooling": "add"},
+        "gt": gps_gt("GINE+Transformer", 10, 4, 64),
+        "gnn": gnn("san_graph", 64),
+        "optim": adamw_cosine(0.001, 2000, 50),
+    }),
+    "GPS/zinc-GPS-ESLapPE.yaml": ("configs/GPS/zinc-GPS-ESLapPE.yaml", {
+        "metric_best": "mae", "metric_agg": "argmin",
+        "dataset": zinc_ds("TypeDictNode+EquivStableLapPE"),
+        "posenc_EquivStableLapPE": {
+            "enable": True,
+            "eigen": {"laplacian_norm": "none", "eigvec_norm": "L2",
+                      "max_freqs": 8}},
+        "train": {"batch_size": 32},
+        "model": {"type": "GPSModel", "loss_fun": "l1",
+                  "graph_pooling": "add"},
+        "gt": gps_gt("GINE+Transformer", 10, 4, 64),
+        "gnn": gnn("san_graph", 64),
+        "optim": adamw_cosine(0.001, 2000, 50),
+    }),
+    "GPS/zinc-GPS-LapPE+RWSE.yaml": ("configs/GPS/zinc-GPS-LapPE+RWSE.yaml", {
+        "metric_best": "mae", "metric_agg": "argmin",
+        "dataset": zinc_ds("TypeDictNode+LapPE+RWSE"),
+        "posenc_LapPE": lap_pe(max_freqs=8, dim_pe=8),
+        "posenc_RWSE": rwse(dim_pe=20, k=17),
+        "train": {"batch_size": 32},
+        "model": {"type": "GPSModel", "loss_fun": "l1",
+                  "graph_pooling": "add"},
+        "gt": gps_gt("GINE+Transformer", 10, 4, 64),
+        "gnn": gnn("san_graph", 64),
+        "optim": adamw_cosine(0.001, 2000, 50),
+    }),
+    # ------------------------------------------------------------ GPS / OGB
+    "GPS/ogbg-molhiv-GPS+RWSE.yaml": ("configs/GPS/ogbg-molhiv-GPS+RWSE.yaml", {
+        "metric_best": "auroc",
+        "dataset": mol_ds("ogbg-molhiv", "Atom+RWSE",
+                          "classification_binary"),
+        "posenc_RWSE": rwse(dim_pe=16, k=17),
+        "train": {"batch_size": 32},
+        "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                  "graph_pooling": "mean"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 10, 4, 64, dropout=0.05),
+        "gnn": gnn("san_graph", 64),
+        "optim": adamw_cosine(0.0001, 100, 5),
+    }),
+    "GPS/ogbg-ppa-GPS.yaml": ("configs/GPS/ogbg-ppa-GPS.yaml", {
+        "metric_best": "accuracy",
+        "dataset": mol_ds("ogbg-ppa", "PPANode", "classification", "PPAEdge"),
+        "train": {"batch_size": 32},
+        "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                  "graph_pooling": "mean"},
+        "gt": gps_gt("CustomGatedGCN+Performer", 3, 8, 256, dropout=0.1),
+        "gnn": gnn("default", 256, post=2),
+        "optim": adamw_cosine(0.0003, 200, 10),
+    }),
+    "GPS/ogbg-code2-GPS.yaml": ("configs/GPS/ogbg-code2-GPS.yaml", {
+        "metric_best": "f1",
+        "dataset": mol_ds("ogbg-code2", "ASTNode", "subtoken_prediction",
+                          "ASTEdge"),
+        "train": {"batch_size": 32},
+        "model": {"type": "GPSModel", "loss_fun": "subtoken_cross_entropy",
+                  "graph_pooling": "mean"},
+        "gt": gps_gt("CustomGatedGCN+Performer", 4, 4, 256, dropout=0.2),
+        "gnn": gnn("ogb_code_graph", 256, post=1),
+        "optim": adamw_cosine(0.0001, 30, 2),
+    }),
+    # -------------------------------------------------------- GPS / PCQM4Mv2
+    "GPS/pcqm4m-GPS+RWSE.yaml": ("configs/GPS/pcqm4m-GPS+RWSE.yaml", {
+        "metric_best": "mae", "metric_agg": "argmin",
+        "dataset": mol_ds("PCQM4Mv2-full", "Atom+RWSE", "regression"),
+        "posenc_RWSE": rwse(dim_pe=20, k=17),
+        "train": {"batch_size": 256, "ckpt_best": True},
+        "model": {"type": "GPSModel", "loss_fun": "l1",
+                  "graph_pooling": "mean"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 5, 4, 304),
+        "gnn": gnn("san_graph", 304),
+        "optim": adamw_cosine(0.0005, 100, 5, wd=0.0),
+    }),
+    "GPS/pcqm4m-GPSdeep+RWSE.yaml": ("configs/GPS/pcqm4m-GPSdeep+RWSE.yaml", {
+        "metric_best": "mae", "metric_agg": "argmin",
+        "dataset": mol_ds("PCQM4Mv2-full", "Atom+RWSE", "regression"),
+        "posenc_RWSE": rwse(dim_pe=20, k=17),
+        "train": {"batch_size": 256, "ckpt_best": True},
+        "model": {"type": "GPSModel", "loss_fun": "l1",
+                  "graph_pooling": "mean"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 16, 8, 256, dropout=0.1,
+                     attn_dropout=0.1),
+        "gnn": gnn("san_graph", 256, act="gelu"),
+        "optim": dict(adamw_cosine(0.0002, 150, 10, wd=0.0),
+                      scheduler="linear_with_warmup"),
+        # scan+remat: 16 deep layers compile once and fit HBM comfortably
+        "parallel": {"scan_layers": True, "remat": True},
+    }),
+    "GPS/pcqm4m-GPSdeep-inference.yaml": (
+        "configs/GPS/pcqm4m-GPSdeep-inference.yaml", {
+            "metric_best": "mae", "metric_agg": "argmin",
+            "dataset": mol_ds("PCQM4Mv2-inference", "Atom+RWSE", "regression"),
+            "posenc_RWSE": rwse(dim_pe=20, k=17),
+            "train": {"batch_size": 256, "mode": "PCQM4Mv2-inference"},
+            "model": {"type": "GPSModel", "loss_fun": "l1",
+                      "graph_pooling": "mean"},
+            "gt": gps_gt("CustomGatedGCN+Transformer", 16, 8, 256,
+                         dropout=0.1, attn_dropout=0.1),
+            "gnn": gnn("san_graph", 256, act="gelu"),
+            "pretrained": {"dir": "pretrained/pcqm4m-GPSdeep",
+                           "reset_prediction_head": False},
+        }),
+    "GPS/pcqm-contact-GPS.yaml": ("configs/GPS/pcqm-contact-GPS.yaml", {
+        "metric_best": "mrr",
+        "dataset": dict(mol_ds("PCQM4Mv2Contact-shuffle", "Atom+LapPE",
+                               "classification"),
+                        resample_negative=True),
+        "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16),
+        "train": {"batch_size": 256},
+        "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                  "edge_decoding": "dot"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 4, 4, 96),
+        "gnn": gnn("inductive_edge", 96, post=1),
+        "optim": adamw_cosine(0.0003, 200, 10, wd=0.0),
+    }),
+    # ------------------------------------------------------------ GPS / LRGB
+    "GPS/peptides-struct-GPS.yaml": ("configs/GPS/peptides-struct-GPS.yaml", {
+        "metric_best": "mae", "metric_agg": "argmin",
+        "dataset": mol_ds("peptides-structural", "Atom+LapPE", "regression"),
+        "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16),
+        "train": {"batch_size": 128},
+        "model": {"type": "GPSModel", "loss_fun": "l1",
+                  "graph_pooling": "mean"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 4, 4, 96),
+        "gnn": gnn("default", 96, post=1),
+        "optim": adamw_cosine(0.0003, 200, 10, wd=0.0),
+    }),
+    "GPS/cocosuperpixels-GPS.yaml": ("configs/GPS/cocosuperpixels-GPS.yaml", {
+        "metric_best": "f1",
+        "dataset": {"format": "PyG-COCOSuperpixels",
+                    "name": "edge_wt_region_boundary", "slic_compactness": 30,
+                    "task": "node", "task_type": "classification",
+                    "node_encoder": True,
+                    "node_encoder_name": "COCONode+LapPE",
+                    "edge_encoder": True, "edge_encoder_name": "VOCEdge"},
+        "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16),
+        "train": {"batch_size": 32},
+        "model": {"type": "GPSModel", "loss_fun": "weighted_cross_entropy"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 4, 8, 96),
+        "gnn": gnn("inductive_node", 96),
+        "optim": adamw_cosine(0.0005, 300, 10, wd=0.0),
+    }),
+    # ------------------------------------------------- GPS / GNNBenchmark
+    "GPS/mnist-GPS.yaml": ("configs/GPS/mnist-GPS.yaml", {
+        "metric_best": "accuracy",
+        "dataset": bench_ds("MNIST", node_enc="LinearNode+LapPE",
+                            edge_enc="LinearEdge"),
+        "posenc_LapPE": lap_pe(max_freqs=8, dim_pe=8),
+        "train": {"batch_size": 16},
+        "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                  "graph_pooling": "mean"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 3, 4, 52),
+        "gnn": dict(gnn("default", 52), batchnorm=False),
+        "optim": adamw_cosine(0.001, 100, 5),
+    }),
+    "GPS/cifar10-GPS.yaml": ("configs/GPS/cifar10-GPS.yaml", {
+        "metric_best": "accuracy",
+        "dataset": bench_ds("CIFAR10", node_enc="LinearNode+LapPE",
+                            edge_enc="LinearEdge"),
+        "posenc_LapPE": lap_pe(max_freqs=8, dim_pe=8),
+        "train": {"batch_size": 16},
+        "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                  "graph_pooling": "mean"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 3, 4, 52),
+        "gnn": dict(gnn("default", 52, post=2), batchnorm=False),
+        "optim": adamw_cosine(0.001, 100, 5),
+    }),
+    "GPS/cluster-GPS.yaml": ("configs/GPS/cluster-GPS.yaml", {
+        "metric_best": "accuracy-SBM",
+        "dataset": bench_ds("CLUSTER", task="node"),
+        "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16),
+        "train": {"batch_size": 16},
+        "model": {"type": "GPSModel", "loss_fun": "weighted_cross_entropy"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 16, 8, 48, dropout=0.1),
+        "gnn": gnn("inductive_node", 48),
+        "optim": adamw_cosine(0.0005, 100, 5),
+    }),
+    # --------------------------------------------------------- GPS / MalNet
+    "GPS/malnettiny-GPS.yaml": ("configs/GPS/malnettiny-GPS.yaml", {
+        "metric_best": "accuracy",
+        "dataset": {"format": "PyG-MalNetTiny",
+                    "name": "LocalDegreeProfile", "task": "graph",
+                    "task_type": "classification", "node_encoder": True,
+                    "node_encoder_name": "LapPE", "edge_encoder": True,
+                    "edge_encoder_name": "DummyEdge"},
+        "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16),
+        "train": {"batch_size": 16},
+        "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                  "graph_pooling": "max"},
+        "gt": gps_gt("CustomGatedGCN+Performer", 5, 4, 64),
+        "gnn": gnn("default", 64),
+        "optim": adamw_cosine(0.0005, 150, 10),
+    }),
+    "GPS/malnettiny-GPS+RWSE.yaml": ("configs/GPS/malnettiny-GPS+RWSE.yaml", {
+        "metric_best": "accuracy",
+        "dataset": {"format": "PyG-MalNetTiny",
+                    "name": "LocalDegreeProfile", "task": "graph",
+                    "task_type": "classification", "node_encoder": True,
+                    "node_encoder_name": "RWSE", "edge_encoder": True,
+                    "edge_encoder_name": "DummyEdge"},
+        "posenc_RWSE": rwse(dim_pe=20, k=17),
+        "train": {"batch_size": 16},
+        "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                  "graph_pooling": "max"},
+        "gt": gps_gt("CustomGatedGCN+Performer", 5, 4, 64),
+        "gnn": gnn("default", 64),
+        "optim": adamw_cosine(0.0005, 150, 10),
+    }),
+    # ---------------------------------------------------------------- SAN
+    "SAN/peptides-func-SAN.yaml": ("configs/SAN/peptides-func-SAN.yaml", {
+        "metric_best": "ap",
+        "dataset": mol_ds("peptides-functional", "Atom+LapPE",
+                          "classification_multilabel"),
+        "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16, norm="sym",
+                               model="Transformer"),
+        "train": {"batch_size": 32},
+        "model": {"type": "SANTransformer", "loss_fun": "cross_entropy",
+                  "graph_pooling": "mean"},
+        "gt": {"layers": 4, "n_heads": 4, "dim_hidden": 84,
+               "full_graph": True, "gamma": 1e-6, "dropout": 0.0,
+               "layer_norm": False, "batch_norm": True, "residual": True},
+        "gnn": gnn("default", 84, post=1),
+        "optim": plateau(0.0003, 500, 20, batch_accumulation=4),
+    }),
+    "SAN/pattern-SAN.yaml": ("configs/SAN/pattern-SAN.yaml", {
+        "metric_best": "accuracy-SBM",
+        "dataset": bench_ds("PATTERN", task="node"),
+        "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16, norm="sym",
+                               model="Transformer", layers=3),
+        "train": {"batch_size": 16},
+        "model": {"type": "SANTransformer",
+                  "loss_fun": "weighted_cross_entropy"},
+        "gt": {"layers": 4, "n_heads": 10, "dim_hidden": 80,
+               "full_graph": True, "gamma": 1e-2, "dropout": 0.0,
+               "layer_norm": False, "batch_norm": True, "residual": True},
+        "gnn": gnn("inductive_node", 80),
+        "optim": plateau(0.0005, 1000, 10, optimizer="adam", min_lr=1e-6),
+    }),
+    # ------------------------------------------------------- GatedGCN / GINE
+    "GatedGCN/peptides-func-GatedGCN.yaml": (
+        "configs/GatedGCN/peptides-func-GatedGCN.yaml", {
+            "metric_best": "ap",
+            "dataset": mol_ds("peptides-functional", "Atom",
+                              "classification_multilabel"),
+            "train": {"batch_size": 128},
+            "model": {"type": "custom_gnn", "loss_fun": "cross_entropy",
+                      "graph_pooling": "mean"},
+            "gnn": {"head": "default", "layers_pre_mp": 0, "layers_mp": 5,
+                    "layers_post_mp": 1, "dim_inner": 138,
+                    "layer_type": "gatedgcnconv", "act": "relu",
+                    "residual": True, "dropout": 0.0},
+            "optim": plateau(0.001, 500, 20),
+        }),
+    "GatedGCN/peptides-struct-GatedGCN.yaml": (
+        "configs/GatedGCN/peptides-struct-GatedGCN.yaml", {
+            "metric_best": "mae", "metric_agg": "argmin",
+            "dataset": mol_ds("peptides-structural", "Atom", "regression"),
+            "train": {"batch_size": 128},
+            "model": {"type": "custom_gnn", "loss_fun": "l1",
+                      "graph_pooling": "mean"},
+            "gnn": {"head": "default", "layers_pre_mp": 0, "layers_mp": 5,
+                    "layers_post_mp": 1, "dim_inner": 138,
+                    "layer_type": "gatedgcnconv", "act": "relu",
+                    "residual": True, "dropout": 0.0},
+            "optim": plateau(0.001, 500, 20),
+        }),
+    "GatedGCN/vocsuperpixels-GatedGCN.yaml": (
+        "configs/GatedGCN/vocsuperpixels-GatedGCN.yaml", {
+            "metric_best": "f1",
+            "dataset": {"format": "PyG-VOCSuperpixels",
+                        "name": "edge_wt_region_boundary",
+                        "slic_compactness": 30, "task": "node",
+                        "task_type": "classification", "node_encoder": True,
+                        "node_encoder_name": "VOCNode", "edge_encoder": True,
+                        "edge_encoder_name": "VOCEdge"},
+            "train": {"batch_size": 32},
+            "model": {"type": "custom_gnn",
+                      "loss_fun": "weighted_cross_entropy"},
+            "gnn": {"head": "inductive_node", "layers_pre_mp": 0,
+                    "layers_mp": 8, "layers_post_mp": 3, "dim_inner": 108,
+                    "layer_type": "gatedgcnconv", "act": "relu",
+                    "residual": True, "dropout": 0.0},
+            "optim": plateau(0.0005, 500, 10, optimizer="adam"),
+        }),
+    "GINE/peptides-func-GINE.yaml": (
+        "configs/GINE/peptides-func-GINE.yaml", {
+            "metric_best": "ap",
+            "dataset": mol_ds("peptides-functional", "Atom",
+                              "classification_multilabel"),
+            "train": {"batch_size": 128},
+            "model": {"type": "custom_gnn", "loss_fun": "cross_entropy",
+                      "graph_pooling": "mean"},
+            "gnn": {"head": "default", "layers_pre_mp": 0, "layers_mp": 5,
+                    "layers_post_mp": 1, "dim_inner": 208,
+                    "layer_type": "gineconv", "act": "relu",
+                    "residual": True, "dropout": 0.0},
+            "optim": plateau(0.001, 500, 20),
+        }),
+    "GINE/peptides-struct-GINE.yaml": (
+        "configs/GINE/peptides-struct-GINE.yaml", {
+            "metric_best": "mae", "metric_agg": "argmin",
+            "dataset": mol_ds("peptides-structural", "Atom", "regression"),
+            "train": {"batch_size": 128},
+            "model": {"type": "custom_gnn", "loss_fun": "l1",
+                      "graph_pooling": "mean"},
+            "gnn": {"head": "default", "layers_pre_mp": 0, "layers_mp": 5,
+                    "layers_post_mp": 1, "dim_inner": 208,
+                    "layer_type": "gineconv", "act": "relu",
+                    "residual": True, "dropout": 0.0},
+            "optim": plateau(0.001, 500, 20),
+        }),
+}
+
+
+def main():
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+    for rel, (ref, conf) in sorted(RECIPES.items()):
+        if rel in KEEP:
+            continue
+        path = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        conf = {"out_dir": "results", **conf}
+        header = (f"# Recipe mirroring the published hyperparameters of the "
+                  f"reference\n# /root/reference/{ref} in this framework's "
+                  f"schema.\n# Generated by tools/gen_configs.py — edit there."
+                  f"\n")
+        with open(path, "w") as f:
+            f.write(header + yaml.safe_dump(conf, sort_keys=False))
+        print("wrote", rel)
+
+
+if __name__ == "__main__":
+    main()
