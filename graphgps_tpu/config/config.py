@@ -184,6 +184,10 @@ def new_cfg() -> CfgNode:
         sampler="full_batch",
         log_attn_weights=False,   # harvest per-layer attention (analysis mode)
         device_loader=True,       # device-side batch assembly when possible
+        # K optimizer steps per dispatch via lax.scan (DeviceLoader only;
+        # amortizes dispatch latency on tiny-graph recipes — see
+        # train/loop.py make_scan_steps). 1 = classic one-step dispatch.
+        steps_per_dispatch=1,
         profiler=False,           # jax.profiler trace of one post-compile epoch
     )
 
