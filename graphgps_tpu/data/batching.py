@@ -23,7 +23,8 @@ def round_up(x: int, multiple: int) -> int:
 
 # extras whose axes scale with the graph's node count and must pad to the
 # batch node cap (everything else pads to the per-key batch maximum)
-NODE_SIZED_EXTRAS = frozenset({"spatial_types", "attn_bias"})
+NODE_SIZED_EXTRAS = frozenset({"spatial_types", "attn_bias",
+                               "shortest_path_types"})
 
 
 def choose_caps(graphs: Sequence[Graph], node_multiple: int = 8,
@@ -171,7 +172,7 @@ class BatchLoader:
     def __init__(self, graphs: Sequence[Graph], batch_size: int,
                  max_nodes: Optional[int] = None, max_edges: Optional[int] = None,
                  shuffle: bool = False, seed: int = 0, y_graph_level: bool = True,
-                 drop_last: bool = False):
+                 drop_last: bool = False, epoch_transform=None):
         self.graphs = list(graphs)
         self.batch_size = batch_size
         n_cap, e_cap = choose_caps(self.graphs)
@@ -183,12 +184,17 @@ class BatchLoader:
         self.epoch = 0
         self.y_graph_level = y_graph_level
         self.drop_last = drop_last
+        # per-epoch in-place dataset transform (e.g. negative-edge resampling,
+        # reference transform-on-access semantics): fn(graphs, epoch)
+        self.epoch_transform = epoch_transform
 
     def __len__(self) -> int:
         n = len(self.graphs)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[HostBatch]:
+        if self.epoch_transform is not None:
+            self.epoch_transform(self.graphs, self.epoch)
         idx = np.arange(len(self.graphs))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)

@@ -339,24 +339,33 @@ def structured_neg_sampling_transform(g: Graph, rng: np.random.Generator,
     """For each positive edge head i, sample ``num_neg_per_pos`` random tails k
     and keep (i,k) pairs that are not positive edges (reference
     structured_neg_sampling_transform + custom_structured_negative_sampling,
-    pcqm4mv2_contact.py:120-214)."""
+    pcqm4mv2_contact.py:120-214).
+
+    TPU note: the reference DROPS collision pairs (dynamic shapes are free in
+    torch); here the negative block keeps its fixed (2, P·k) shape and
+    collisions are marked invalid in ``edge_label_mask`` — re-sampling every
+    epoch (``dataset.resample_negative``) then never changes batch shapes, so
+    the train step compiles once."""
     eli, lab = g.extras["edge_label_index"], g.extras["edge_label"]
     id_pos = eli[:, lab == 1]
     n = g.num_nodes
     heads = np.repeat(id_pos[0], num_neg_per_pos)
     rand = rng.integers(0, n, size=heads.shape[0])
     pos_set = set(map(tuple, id_pos.T.tolist()))
-    keep = np.array([(h, t) not in pos_set
-                     for h, t in zip(heads.tolist(), rand.tolist())], bool)
-    id_neg = np.stack([heads[keep], rand[keep]]).astype(np.int64)
+    valid = np.array([(h, t) not in pos_set
+                      for h, t in zip(heads.tolist(), rand.tolist())], bool)
+    id_neg = np.stack([heads, rand]).astype(np.int64)
     g.extras["edge_label_index"] = np.concatenate([id_pos, id_neg], axis=1)
     g.extras["edge_label"] = create_link_label(id_pos, id_neg)
+    g.extras["edge_label_mask"] = np.concatenate(
+        [np.ones(id_pos.shape[1], bool), valid])
     return g
 
 
 def neg_sampling_transform(g: Graph, rng: np.random.Generator) -> Graph:
     """Sample 2× positives random non-edges, force-undirected (reference
-    neg_sampling_transform, pcqm4mv2_contact.py:216-236)."""
+    neg_sampling_transform, pcqm4mv2_contact.py:216-236). Fixed-size negative
+    block with a validity mask (see structured_neg_sampling_transform)."""
     eli, lab = g.extras["edge_label_index"], g.extras["edge_label"]
     id_pos = eli[:, lab == 1]
     n = g.num_nodes
@@ -374,10 +383,16 @@ def neg_sampling_transform(g: Graph, rng: np.random.Generator) -> Graph:
                     break
         if len(out) >= want:
             break
-    id_neg = (np.array(out, np.int64).T if out
-              else np.zeros((2, 0), np.int64))
+    id_neg = np.zeros((2, want), np.int64)
+    valid = np.zeros(want, bool)
+    if out:
+        arr = np.array(out, np.int64).T
+        id_neg[:, : arr.shape[1]] = arr
+        valid[: arr.shape[1]] = True
     g.extras["edge_label_index"] = np.concatenate([id_pos, id_neg], axis=1)
     g.extras["edge_label"] = create_link_label(id_pos, id_neg)
+    g.extras["edge_label_mask"] = np.concatenate(
+        [np.ones(id_pos.shape[1], bool), valid])
     return g
 
 

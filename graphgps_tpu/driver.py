@@ -109,16 +109,46 @@ def create_loaders(cfg: CfgNode, splits: DatasetSplits,
     # host collation's Nmax-padding — those stay on the packed path.
     g0 = splits.train[0]
     _dev_ok_extras = {"edge_label", "edge_label_index", "edge_label_mask"}
-    use_device = (cfg.train.get("device_loader", True)
+    resample = (cfg.dataset.get("resample_negative", False)
+                and "edge_label_index" in g0.extras)
+    use_device = (cfg.train.get("device_loader", True) and not resample
                   and set(g0.extras) <= _dev_ok_extras)
     if use_device:
         from .data.device_loader import DeviceLoader as LoaderCls
     else:
         LoaderCls = PackedLoader
+
+    epoch_transform = None
+    if resample:
+        # reference transform-on-access semantics (master_loader.py:486-487):
+        # redraw the negative edges every epoch on the train split
+        from .data.batching import BatchLoader as _BL
+        from .data.datasets.more_real import (complete_neg_transform,
+                                              neg_sampling_transform,
+                                              structured_neg_sampling_transform)
+        strategy = cfg.dataset.get("contact_neg_sampling", "structured")
+
+        def epoch_transform(graphs, epoch):
+            rng = np.random.default_rng(cfg.seed * 100003 + epoch)
+            for g in graphs:
+                if strategy == "structured":
+                    structured_neg_sampling_transform(g, rng)
+                elif strategy == "random":
+                    neg_sampling_transform(g, rng)
+                else:
+                    complete_neg_transform(g)
+
     out = {}
     for name, graphs in (("train", splits.train), ("val", splits.val),
                          ("test", splits.test)):
         if not graphs:
+            continue
+        if resample and name == "train":
+            # plain BatchLoader re-collates from the (mutated) Graph list
+            out[name] = _BL(graphs, batch_size=bs, max_nodes=max_nodes,
+                            max_edges=max_edges, shuffle=True, seed=cfg.seed,
+                            y_graph_level=y_graph_level,
+                            epoch_transform=epoch_transform)
             continue
         out[name] = LoaderCls(
             graphs, batch_size=bs, max_nodes=max_nodes, max_edges=max_edges,

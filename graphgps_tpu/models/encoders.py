@@ -410,6 +410,7 @@ class GraphormerBiasEncoder(nn.Module):
     num_out_degrees: int = 64
     node_degrees_only: bool = False
     use_graph_token: bool = False
+    num_edge_types: int = 4
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x, train: bool):
@@ -419,6 +420,21 @@ class GraphormerBiasEncoder(nn.Module):
             bias = nn.Embed(self.num_spatial_types + 2, self.num_heads,
                             embedding_init=init)(spatial)
             bias = bias.transpose(0, 3, 1, 2)                          # (B,H,N,N)
+            spt = batch.extras.get("shortest_path_types")  # (B, N, N, D)
+            if spt is not None:
+                # edge encodings along shortest paths (reference
+                # BiasEncoder:156-175): embed per-hop edge types, mix each
+                # hop-distance with its own H×H matrix, sum over hops,
+                # normalize by the clamped path length
+                H = self.num_heads
+                D = spt.shape[-1]
+                e_emb = nn.Embed(self.num_edge_types, H, embedding_init=init)(
+                    jnp.clip(spt.astype(jnp.int32), 0,
+                             self.num_edge_types - 1))
+                W = self.param("edge_dis_encoder", init, (D, H, H))
+                mixed = jnp.einsum("bnmdh,dhk->bnmk", e_emb, W)  # (B,N,N,H)
+                denom = jnp.maximum(spatial.astype(mixed.dtype), 1.0)
+                bias = bias + (mixed / denom[..., None]).transpose(0, 3, 1, 2)
             if self.use_graph_token:
                 tok_bias = self.param("graph_token_bias", init,
                                       (self.num_heads,))

@@ -67,7 +67,8 @@ def _make_node_encoder(name: str, dim_emb: int, cfg: CfgNode):
         return node_encoder_dict[name](
             num_heads=cfg.graphormer.num_heads, num_spatial_types=p.num_spatial_types,
             num_in_degrees=p.num_in_degrees, num_out_degrees=p.num_out_degrees,
-            node_degrees_only=p.node_degrees_only, use_graph_token=use_token)
+            node_degrees_only=p.node_degrees_only, use_graph_token=use_token,
+            num_edge_types=max(2, cfg.dataset.edge_encoder_num_types))
     if name in node_encoder_dict:  # custom registry entries (dim_emb-only ctor)
         return node_encoder_dict[name](dim_emb=dim_emb)
     raise ValueError(f"unknown node encoder {name!r}")

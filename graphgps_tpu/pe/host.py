@@ -149,9 +149,14 @@ def electrostatic(g: Graph) -> np.ndarray:
 
 
 def graphormer_bias(g: Graph, num_spatial_types: int,
-                    directed: bool = False) -> Dict[str, np.ndarray]:
+                    directed: bool = False,
+                    with_edge_paths: bool = False) -> Dict[str, np.ndarray]:
     """All-pairs shortest-path types + in/out degrees for the Graphormer bias
-    encoder (reference graphormer_encoder.py:15-100). BFS per node (unweighted)."""
+    encoder (reference graphormer_encoder.py:15-100). BFS per node
+    (unweighted) with parent tracking; with ``with_edge_paths`` also returns
+    ``shortest_path_types`` (N, N, num_spatial_types): the scalar edge-type
+    sequence along each shortest path (reference :66-93), consumed by the
+    BiasEncoder's edge-distance term."""
     n = g.num_nodes
     adj: List[List[int]] = [[] for _ in range(n)]
     s, r = g.edge_index
@@ -159,8 +164,9 @@ def graphormer_bias(g: Graph, num_spatial_types: int,
         adj[a].append(b)
         if not directed:
             adj[b].append(a)
-    INF = num_spatial_types + 1
-    dist = np.full((n, n), INF, dtype=np.int32)
+    INF = 1 << 30  # true unreachable sentinel — clamping happens below only
+    dist = np.full((n, n), INF, dtype=np.int64)
+    parent = np.full((n, n), -1, dtype=np.int32) if with_edge_paths else None
     for src in range(n):
         dist[src, src] = 0
         frontier = [src]
@@ -172,9 +178,14 @@ def graphormer_bias(g: Graph, num_spatial_types: int,
                 for v in adj[u]:
                     if dist[src, v] > d:
                         dist[src, v] = d
+                        if parent is not None:
+                            parent[src, v] = u
                         nxt.append(v)
             frontier = nxt
-    spatial = np.minimum(dist, num_spatial_types)  # clamp; INF→num_spatial_types
+    # reference convention (graphormer_encoder.py:63,81-85): reachable pairs
+    # get len(truncated path)−1 ≤ distance−1; unreachable pairs get `distance`
+    spatial = np.where(dist >= INF, num_spatial_types,
+                       np.minimum(dist, num_spatial_types - 1)).astype(np.int32)
     in_deg = np.zeros((n,), dtype=np.int32)
     out_deg = np.zeros((n,), dtype=np.int32)
     for a, b in zip(s.tolist(), r.tolist()):
@@ -183,7 +194,33 @@ def graphormer_bias(g: Graph, num_spatial_types: int,
     if not directed:
         deg = in_deg + out_deg
         in_deg = out_deg = deg
-    return dict(spatial_types=spatial, in_degrees=in_deg, out_degrees=out_deg)
+    out = dict(spatial_types=spatial, in_degrees=in_deg, out_degrees=out_deg)
+
+    if with_edge_paths and g.edge_feat is not None:
+        # scalar edge type per (u, v) like the reference (edge_attr[:, 0]
+        # when multi-column)
+        etype = np.zeros((n, n), dtype=np.int64)
+        ef = g.edge_feat.reshape(g.num_edges, -1)[:, 0]
+        etype[s, r] = ef
+        if not directed:
+            etype[r, s] = ef
+        D = num_spatial_types
+        spt = np.zeros((n, n, D), dtype=np.int64)
+        for i in range(n):
+            for j in range(n):
+                if i == j or dist[i, j] >= INF:
+                    continue  # no path → all-zero type row (reference zeros)
+                # walk back through BFS parents, truncating like the
+                # reference's path[:distance]
+                path = [j]
+                while path[-1] != i:
+                    path.append(int(parent[i, path[-1]]))
+                path.reverse()
+                path = path[:D]
+                for k in range(len(path) - 1):
+                    spt[i, j, k] = etype[path[k], path[k + 1]]
+        out["shortest_path_types"] = spt
+    return out
 
 
 # ---------------------------------------------------------------------------------
@@ -237,9 +274,13 @@ def compute_posenc(graphs: List[Graph], cfg) -> None:
             elif name == "ElstaticSE":
                 g.pe["pestat_ElstaticSE"] = electrostatic(g)
             elif name == "GraphormerBias":
-                stats = graphormer_bias(g, pcfg.num_spatial_types,
-                                        pcfg.directed_graphs)
+                stats = graphormer_bias(
+                    g, pcfg.num_spatial_types, pcfg.directed_graphs,
+                    with_edge_paths=bool(pcfg.get("has_edge_attr", False))
+                    and g.edge_feat is not None)
                 g.extras["spatial_types"] = stats["spatial_types"]
+                if "shortest_path_types" in stats:
+                    g.extras["shortest_path_types"] = stats["shortest_path_types"]
                 g.pe["in_degrees"] = stats["in_degrees"][:, None]
                 g.pe["out_degrees"] = stats["out_degrees"][:, None]
             else:

@@ -537,12 +537,46 @@ def test_contact_structured_neg_sampling():
     g = _contact_graph()
     structured_neg_sampling_transform(g, np.random.default_rng(0))
     eli, lab = g.extras["edge_label_index"], g.extras["edge_label"]
-    assert lab[:2].tolist() == [1, 1]
+    mask = g.extras["edge_label_mask"]
+    assert lab[:2].tolist() == [1, 1] and mask[:2].all()
+    # fixed-size negative block: 2 per positive head (static shapes)
+    assert eli.shape == (2, 2 + 4) and lab.shape == (6,)
     neg = eli[:, lab == 0]
-    # negatives share heads with positives and avoid positive pairs
+    # negatives share heads with positives; collision pairs are mask-invalid
     assert set(neg[0].tolist()) <= {0, 2}
     pos_pairs = {(0, 5), (2, 7)}
-    assert all(tuple(p) not in pos_pairs for p in neg.T.tolist())
+    valid_neg = eli[:, 2:][:, mask[2:]]
+    assert all(tuple(p) not in pos_pairs for p in valid_neg.T.tolist())
+
+
+def test_contact_resample_negative_per_epoch(tmp_path):
+    """dataset.resample_negative redraws negatives every epoch with STATIC
+    shapes (reference transform-on-access, master_loader.py:486-487)."""
+    from graphgps_tpu.config.config import new_cfg
+    from graphgps_tpu.data.datasets.base import load_dataset
+    from graphgps_tpu.driver import create_loaders
+
+    cfg = new_cfg()
+    cfg.dataset.format = "OGB"
+    cfg.dataset.name = "PCQM4Mv2Contact-shuffle"
+    cfg.dataset.synth_num_graphs = 12
+    cfg.dataset.resample_negative = True
+    cfg.train.batch_size = 4
+    splits = load_dataset(cfg)
+    loaders = create_loaders(cfg, splits)
+    tr = loaders["train"]
+    b1 = [hb for hb in tr]
+    neg1 = np.asarray(b1[0].extras["edge_label_index"]).copy()
+    shape1 = {k: np.asarray(v).shape for k, v in b1[0].extras.items()}
+    b2 = [hb for hb in tr]
+    neg2 = np.asarray(b2[0].extras["edge_label_index"])
+    shape2 = {k: np.asarray(v).shape for k, v in b2[0].extras.items()}
+    assert shape1 == shape2            # no recompile across epochs
+    assert (neg1 != neg2).any()        # negatives actually redrawn
+    # val split keeps fixed negatives (evaluation stability)
+    v1 = np.asarray(next(iter(loaders["val"])).extras["edge_label_index"])
+    v2 = np.asarray(next(iter(loaders["val"])).extras["edge_label_index"])
+    assert (v1 == v2).all()
 
 
 def test_contact_complete_neg():
