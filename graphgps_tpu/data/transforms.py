@@ -65,17 +65,52 @@ def to_undirected(g: Graph) -> Graph:
     return g
 
 
-def infer_links(g: Graph) -> Graph:
-    """Build the complete edge index for link-inference probes
-    (reference task_preprocessing.py:9-65)."""
+def infer_links(g: Graph, label_mode: str = "",
+                seed: int = 0) -> Graph:
+    """Link-inference probe construction (reference
+    task_preprocessing.py:19-42).
+
+    With ``label_mode == 'edge'`` builds the reference's BALANCED pair set:
+    every real edge (label 1) plus an equal number of shuffled non-edge pairs
+    (label 0), stored as ``complete_edge_index`` with per-pair targets in
+    ``g.y``; otherwise the plain all-pairs index."""
     n = g.num_nodes
     a, b = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
-    off = a != b
-    g.extras["complete_edge_index"] = np.stack([a[off], b[off]])
+    if label_mode == "edge":
+        adj = np.zeros((n, n), bool)
+        adj[g.edge_index[0], g.edge_index[1]] = True
+        pos = np.stack(np.nonzero(adj))
+        neg_all = np.stack(np.nonzero(~adj))
+        rng = np.random.default_rng(seed)
+        pick = rng.permutation(neg_all.shape[1])[: pos.shape[1]]
+        neg = neg_all[:, pick]
+        pairs = np.concatenate([pos, neg], axis=1)
+        labels = np.concatenate([np.ones(pos.shape[1], np.int64),
+                                 np.zeros(neg.shape[1], np.int64)])
+        order = rng.permutation(pairs.shape[1])
+        g.extras["complete_edge_index"] = pairs[:, order]
+        g.y = labels[order]
+        g.edge_feat = None  # reference drops edge_attr for this probe task
+    else:
+        off = a != b
+        g.extras["complete_edge_index"] = np.stack([a[off], b[off]])
     return g
 
 
 def task_specific_preprocessing(g: Graph, cfg) -> Graph:
-    if cfg.dataset.infer_link_label not in ("none", ""):
-        infer_links(g)
+    """Reference task_preprocessing.py:9-65: infer-links probe construction
+    plus the TRIANGLES / CSL featureless-dataset stubs."""
+    if cfg.gnn.head == "infer_links" or \
+            cfg.dataset.infer_link_label not in ("none", ""):
+        infer_links(g, cfg.dataset.infer_link_label, seed=cfg.seed)
+    pe_available = (cfg.posenc_LapPE.enable or cfg.posenc_RWSE.enable
+                    or cfg.posenc_GraphormerBias.enable)
+    if cfg.dataset.name == "TRIANGLES":
+        if not pe_available:
+            g.node_feat = np.zeros((g.num_nodes, 1), np.float32)
+        if g.y is not None:
+            g.y = (np.asarray(g.y) - 1).astype(np.int64)  # 1-based → 0-based
+    if cfg.dataset.name == "CSL":
+        # featureless: zero column; enabled PEs append to it
+        g.node_feat = np.zeros((g.num_nodes, 1), np.float32)
     return g

@@ -86,3 +86,50 @@ def test_malnet_like_classification(tmp_path):
     cfg.dataset.max_edges = 8192
     hist = run_single(cfg, str(tmp_path / "run"))
     assert "accuracy" in hist["val"][-1]
+
+
+def test_infer_links_edge_mode_balanced():
+    """infer_link_label='edge' builds a balanced shuffled pos/neg pair set
+    with per-pair labels (reference task_preprocessing.py:19-42)."""
+    import numpy as np
+
+    from graphgps_tpu.data.graph import Graph
+    from graphgps_tpu.data.transforms import infer_links
+
+    n = 6
+    s = np.arange(n - 1)
+    ei = np.stack([np.concatenate([s, s + 1]), np.concatenate([s + 1, s])])
+    g = Graph(node_feat=np.zeros((n, 1), np.int64), edge_index=ei,
+              edge_feat=np.zeros((ei.shape[1], 1), np.int64))
+    infer_links(g, "edge", seed=0)
+    pairs = g.extras["complete_edge_index"]
+    assert pairs.shape == (2, 2 * ei.shape[1])
+    assert float(np.mean(g.y)) == 0.5            # balanced, like the ref assert
+    adj = set(map(tuple, ei.T.tolist()))
+    for (a, b), y in zip(pairs.T.tolist(), g.y.tolist()):
+        assert ((a, b) in adj) == bool(y)
+    assert g.edge_feat is None                   # edge_attr dropped
+
+
+def test_triangles_csl_stubs():
+    import numpy as np
+
+    from graphgps_tpu.config.config import new_cfg
+    from graphgps_tpu.data.graph import Graph
+    from graphgps_tpu.data.transforms import task_specific_preprocessing
+
+    cfg = new_cfg()
+    cfg.dataset.name = "TRIANGLES"
+    g = Graph(node_feat=np.ones((4, 3), np.float32),
+              edge_index=np.array([[0, 1], [1, 0]]),
+              y=np.array([3], np.int64))
+    task_specific_preprocessing(g, cfg)
+    assert g.node_feat.shape == (4, 1)           # featureless stub
+    assert int(g.y[0]) == 2                      # 1-based → 0-based
+
+    cfg.dataset.name = "CSL"
+    cfg.posenc_LapPE.enable = True
+    g2 = Graph(node_feat=np.ones((5, 3), np.float32),
+               edge_index=np.array([[0, 1], [1, 0]]))
+    task_specific_preprocessing(g2, cfg)
+    assert g2.node_feat.shape == (5, 1)
