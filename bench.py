@@ -224,8 +224,14 @@ def main():
     def time_left():
         return budget_s - (time.perf_counter() - t_start)
 
+    def flush(extra):
+        # incremental persistence: a killed process keeps partial results
+        with open("BENCH_EXTRA.json", "w") as f:
+            json.dump(extra, f, indent=1)
+
     zinc = bench_shape(_zinc_cfg)
     extra = {"zinc_bs32": zinc}
+    flush(extra)
     stages = [
         ("zinc_bs32_scan8", lambda: bench_zinc_scan(K=8)),
         ("voc512_bs8",
@@ -237,14 +243,14 @@ def main():
         if time_left() < 150:  # a cold compile alone can take ~2 min
             extra[name] = {"skipped": "bench time budget exhausted"}
             print(f"[bench] {name}: skipped (budget)", file=sys.stderr)
+            flush(extra)
             continue
         try:
             extra[name] = fn()
         except Exception as e:  # extra shapes must never sink the headline
             extra[name] = {"error": str(e)}
         print(f"[bench] {name}: {extra[name]}", file=sys.stderr)
-    with open("BENCH_EXTRA.json", "w") as f:
-        json.dump(extra, f, indent=1)
+        flush(extra)
 
     # headline: the flagship recipe at its best supported production
     # configuration (steps_per_dispatch is a user-facing knob of the custom

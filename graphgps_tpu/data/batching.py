@@ -24,7 +24,7 @@ def round_up(x: int, multiple: int) -> int:
 # extras whose axes scale with the graph's node count and must pad to the
 # batch node cap (everything else pads to the per-key batch maximum)
 NODE_SIZED_EXTRAS = frozenset({"spatial_types", "attn_bias",
-                               "shortest_path_types"})
+                               "shortest_path_types", "split_mask"})
 
 
 def choose_caps(graphs: Sequence[Graph], node_multiple: int = 8,

@@ -506,3 +506,93 @@ def one_hot_degree(g: Graph, max_degree: int) -> np.ndarray:
     out = np.zeros((g.num_nodes, max_degree + 1), dtype=np.float32)
     out[np.arange(g.num_nodes), deg] = 1.0
     return out
+
+
+def read_csl_raw(root: str) -> Optional[List[Graph]]:
+    """GNNBenchmark CSL raw layout (PyG GNNBenchmarkDataset, CSL branch):
+    ``graphs_Kary_Deterministic_Graphs.pkl`` — a list of scipy sparse
+    adjacency matrices — plus ``y_Kary_Deterministic_Graphs.pt`` labels.
+    CSL graphs are featureless (task_specific_preprocessing adds the zero
+    column; reference master_loader.py:280-282 + task_preprocessing.py:55-63).
+    """
+    names = ("graphs_Kary_Deterministic_Graphs.pkl",
+             "y_Kary_Deterministic_Graphs.pt")
+    for base in (os.path.join(root, "CSL", "raw"), os.path.join(root, "CSL"),
+                 root):
+        if all(os.path.exists(os.path.join(base, n)) for n in names):
+            break
+    else:
+        return None
+    with open(os.path.join(base, names[0]), "rb") as f:
+        adjs = pickle.load(f)
+    ys = _to_np(_torch_load(os.path.join(base, names[1]))).astype(np.int64)
+    graphs = []
+    for adj, y in zip(adjs, ys):
+        coo = adj.tocoo()
+        ei = np.stack([coo.row, coo.col]).astype(np.int64)
+        n = adj.shape[0]
+        graphs.append(Graph(node_feat=np.zeros((n, 1), np.float32),
+                            edge_index=ei, y=np.array([y], np.int64)))
+    return graphs
+
+
+def read_geom_gcn_raw(root: str, name: str, split_index: int = 0
+                      ) -> Optional[Tuple[Graph, Dict[str, np.ndarray]]]:
+    """Transductive node-classification raw layout shared by PyG's WebKB,
+    WikipediaNetwork (geom_gcn_preprocess) and Actor datasets:
+
+    - ``out1_graph_edges.txt``: header line + one "src<TAB>dst" edge per line;
+    - ``out1_node_feature_label.txt``: header + "id<TAB>feats<TAB>label";
+      features are comma-separated values — dense for WebKB/Wikipedia,
+      one-hot INDEX lists for Actor (film), detected per row;
+    - ``<stem>_split_0.6_0.2_<i>.npz``: boolean train/val/test node masks
+      (10 official splits; picked by ``split_index``).
+
+    Returns (graph, {train_mask, val_mask, test_mask}) or None.
+    """
+    stem = "film" if name.lower() in ("actor", "film", "none") else name
+    for base in (os.path.join(root, stem, "raw"),
+                 os.path.join(root, name, "raw"), os.path.join(root, stem)):
+        if os.path.exists(os.path.join(base, "out1_graph_edges.txt")):
+            break
+    else:
+        return None
+    with open(os.path.join(base, "out1_node_feature_label.txt")) as f:
+        rows = f.read().splitlines()[1:]
+    feats_raw, labels = [], []
+    for line in rows:
+        if not line.strip():
+            continue
+        _, feat, lab = line.split("\t")
+        feats_raw.append(feat)
+        labels.append(int(lab))
+    n = len(labels)
+    # Actor stores variable-length one-hot index lists; dense otherwise
+    is_sparse = len({len(r.split(",")) for r in feats_raw}) > 1
+    if is_sparse:
+        dim = max(int(i) for r in feats_raw for i in r.split(",")) + 1
+        x = np.zeros((n, dim), np.float32)
+        for i, r in enumerate(feats_raw):
+            x[i, [int(j) for j in r.split(",")]] = 1.0
+    else:
+        x = np.asarray([[float(v) for v in r.split(",")] for r in feats_raw],
+                       np.float32)
+    with open(os.path.join(base, "out1_graph_edges.txt")) as f:
+        lines = f.read().splitlines()[1:]
+    pairs = np.asarray([[int(v) for v in ln.split()] for ln in lines
+                        if ln.strip()], np.int64)
+    # undirected + dedup like PyG's processing
+    both = np.concatenate([pairs, pairs[:, ::-1]], axis=0)
+    both = np.unique(both, axis=0)
+    g = Graph(node_feat=x, edge_index=both.T.copy(),
+              y=np.asarray(labels, np.int64))
+    split_path = os.path.join(base, f"{stem}_split_0.6_0.2_{split_index}.npz")
+    if not os.path.exists(split_path):
+        cands = sorted(glob.glob(os.path.join(base, "*_split_*.npz")))
+        if not cands:
+            return None
+        split_path = cands[min(split_index, len(cands) - 1)]
+    z = np.load(split_path)
+    masks = {k: np.asarray(z[k], bool)
+             for k in ("train_mask", "val_mask", "test_mask")}
+    return g, masks

@@ -239,6 +239,15 @@ def load_gnn_benchmark(cfg) -> DatasetSplits:
     if name not in ("PATTERN", "CLUSTER", "MNIST", "CIFAR10", "CSL"):
         raise ValueError(f"GNNBenchmarkDataset does not provide {name!r}")
     root = os.path.join(cfg.dataset.dir, "GNNBenchmarkDataset")
+    if name == "CSL":
+        # CSL ships as one unsplit archive; splits come from split_mode
+        # (the reference runs it with cv — master_loader.py:280-282)
+        graphs = (io_formats.read_csl_raw(root)
+                  or io_formats.read_csl_raw(cfg.dataset.dir))
+        if graphs is None:
+            return _fallback(cfg, "voc-like")
+        from .synthetic import _split
+        return _split(graphs)
     raw = (io_formats.read_gnnbenchmark_pt(root, name)
            or io_formats.read_gnnbenchmark_pt(cfg.dataset.dir, name))
     if raw is None:
@@ -249,3 +258,57 @@ def load_gnn_benchmark(cfg) -> DatasetSplits:
         meta = dict(num_node_types=num_types)
     return DatasetSplits(train=raw["train"], val=raw["val"], test=raw["test"],
                          meta=meta)
+
+
+@register_dataset("PyG-WebKB")
+@register_dataset("PyG-WikipediaNetwork")
+@register_dataset("PyG-Actor")
+def load_transductive_node(cfg) -> DatasetSplits:
+    """Transductive node classification (reference master_loader.py:104-129:
+    Actor / WebKB cornell,texas,wisconsin / WikipediaNetwork
+    chameleon,squirrel with geom-gcn splits). ONE graph shared by all three
+    splits; per-split node masks ride ``extras['split_mask']`` and AND into
+    the loss/metric mask (train/loop.py::_loss_mask)."""
+    import copy
+
+    fam = cfg.dataset.format.replace("PyG-", "")
+    root = os.path.join(cfg.dataset.dir, fam)
+    parsed = (io_formats.read_geom_gcn_raw(root, cfg.dataset.name,
+                                           cfg.dataset.split_index)
+              or io_formats.read_geom_gcn_raw(cfg.dataset.dir, cfg.dataset.name,
+                                              cfg.dataset.split_index))
+    if parsed is None:
+        if not cfg.dataset.get("synthetic_fallback", True):
+            raise FileNotFoundError(
+                f"{cfg.dataset.format}/{cfg.dataset.name} not cached under "
+                f"{cfg.dataset.dir}")
+        log.warning("%s/%s not cached — substituting synthetic transductive "
+                    "graph", cfg.dataset.format, cfg.dataset.name)
+        rng = np.random.default_rng(cfg.dataset.synth_seed)
+        n = max(64, cfg.dataset.synth_num_graphs)
+        s = rng.integers(0, n, 4 * n)
+        r = rng.integers(0, n, 4 * n)
+        keep = s != r
+        ei = np.stack([np.concatenate([s[keep], r[keep]]),
+                       np.concatenate([r[keep], s[keep]])])
+        x = rng.normal(size=(n, 16)).astype(np.float32)
+        y = (np.abs(x @ rng.normal(size=(16,))) * 2).astype(np.int64) % 5
+        g = Graph(node_feat=x, edge_index=ei, y=y)
+        order = rng.permutation(n)
+        masks = {"train_mask": np.zeros(n, bool), "val_mask": np.zeros(n, bool),
+                 "test_mask": np.zeros(n, bool)}
+        masks["train_mask"][order[: int(0.6 * n)]] = True
+        masks["val_mask"][order[int(0.6 * n): int(0.8 * n)]] = True
+        masks["test_mask"][order[int(0.8 * n):]] = True
+    else:
+        g, masks = parsed
+
+    out = {}
+    for split, key in (("train", "train_mask"), ("val", "val_mask"),
+                       ("test", "test_mask")):
+        gs = copy.copy(g)
+        gs.extras = dict(g.extras)
+        gs.pe = dict(g.pe)
+        gs.extras["split_mask"] = masks[key]
+        out[split] = [gs]
+    return DatasetSplits(train=out["train"], val=out["val"], test=out["test"])

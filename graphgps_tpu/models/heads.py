@@ -92,6 +92,7 @@ class GNNGraphHead(nn.Module):
         return pred, batch.y
 
 
+@register_head("node")  # transductive alias: split masking rides _loss_mask
 @register_head("inductive_node")
 class InductiveNodeHead(nn.Module):
     """Node-level MLP head (reference head/inductive_node.py:7-29)."""

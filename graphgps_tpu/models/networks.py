@@ -157,7 +157,7 @@ def _make_head(cfg: CfgNode, dim_in: int, dim_out: int):
     if name in ("default", "graph"):
         return head_dict["default"](pooling=cfg.model.graph_pooling,
                                     layers=max(1, cfg.gnn.layers_post_mp), **common)
-    if name == "inductive_node":
+    if name in ("inductive_node", "node"):
         return head_dict[name](layers=max(1, cfg.gnn.layers_post_mp), **common)
     if name == "inductive_edge":
         return head_dict[name](decoding=cfg.model.edge_decoding, **common)

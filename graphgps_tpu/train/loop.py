@@ -59,6 +59,11 @@ def _loss_mask(cfg, batch: GraphBatch, pred: jax.Array) -> jax.Array:
     if pred.shape[0] == batch.num_graphs:
         return batch.graph_mask
     if pred.shape[0] == batch.num_node_slots:
+        sm = batch.extras.get("split_mask")
+        if sm is not None:
+            # transductive node task: one shared graph, per-split node masks
+            # (reference GraphGym train/val/test_mask semantics)
+            return batch.node_mask & sm.reshape(-1).astype(bool)
         return batch.node_mask
     # edge-level heads carry their own validity in extras
     m = batch.extras.get("edge_label_mask")

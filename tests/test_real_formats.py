@@ -615,3 +615,37 @@ def test_pattern_config_trains_on_fixture(tmp_path):
     # weighted CE + SBM accuracy are the PATTERN metrics
     assert "accuracy-SBM" in rows[-1]
     assert np.isfinite(rows[-1]["loss"])
+
+
+def test_csl_raw(cfg):
+    """CSL: pickled scipy adjacency list + torch label tensor (PyG
+    GNNBenchmarkDataset CSL branch)."""
+    import scipy.sparse as sp
+
+    from graphgps_tpu.data.datasets.real import load_gnn_benchmark
+
+    d = os.path.join(cfg.dataset.dir, "GNNBenchmarkDataset", "CSL", "raw")
+    os.makedirs(d)
+    rng = np.random.default_rng(7)
+    adjs, ys = [], []
+    for i in range(10):
+        n = 8
+        ring = sp.coo_matrix(
+            (np.ones(2 * n), (np.r_[np.arange(n), (np.arange(n) + 1) % n],
+                              np.r_[(np.arange(n) + 1) % n, np.arange(n)])),
+            shape=(n, n))
+        adjs.append(ring)
+        ys.append(i % 5)
+    with open(os.path.join(d, "graphs_Kary_Deterministic_Graphs.pkl"),
+              "wb") as f:
+        pickle.dump(adjs, f)
+    torch.save(torch.tensor(ys), os.path.join(
+        d, "y_Kary_Deterministic_Graphs.pt"))
+
+    cfg.dataset.format, cfg.dataset.name = "PyG-GNNBenchmarkDataset", "CSL"
+    ds = load_gnn_benchmark(cfg)
+    assert len(ds.all_graphs) == 10
+    g = ds.train[0]
+    assert g.num_nodes == 8 and g.num_edges == 16
+    assert g.node_feat.shape == (8, 1)  # featureless zero column
+    assert 0 <= int(g.y[0]) < 5

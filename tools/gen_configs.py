@@ -340,6 +340,33 @@ RECIPES = {
         "gnn": gnn("default", 64),
         "optim": adamw_cosine(0.0005, 150, 10),
     }),
+    # ----------------------------------------------- transductive node tasks
+    **{
+        f"GPS/{tag}-GPS.yaml": (f"configs/GPS/{tag}-GPS.yaml", {
+            "metric_best": "accuracy",
+            "dataset": {"format": fmt, "name": nm, "task": "node",
+                        "task_type": "classification", "transductive": True,
+                        "node_encoder": True, "node_encoder_name": "LapPE",
+                        "edge_encoder": False},
+            "posenc_LapPE": lap_pe(max_freqs=4, dim_pe=4),
+            "train": {"eval_period": 5, "enable_ckpt": False},
+            "model": {"type": "GPSModel", "loss_fun": "cross_entropy"},
+            "gt": {"layer_type": "GCN+Transformer", "layers": layers,
+                   "n_heads": 4, "dim_hidden": dim, "dropout": 0.2,
+                   "attn_dropout": ad, "layer_norm": False,
+                   "batch_norm": False},
+            "gnn": dict(gnn("node", dim, post=1, act="gelu"), dropout=0.2),
+            "optim": adamw_cosine(0.0005, 200, 10),
+        })
+        for tag, fmt, nm, layers, dim, ad in (
+            ("actor", "PyG-Actor", "none", 2, 64, 0.0),
+            ("webkb-cor", "PyG-WebKB", "cornell", 2, 64, 0.0),
+            ("webkb-tex", "PyG-WebKB", "texas", 2, 64, 0.0),
+            ("webkb-wis", "PyG-WebKB", "wisconsin", 2, 64, 0.0),
+            ("wn-chameleon", "PyG-WikipediaNetwork", "chameleon", 3, 96, 0.5),
+            ("wn-squirrel", "PyG-WikipediaNetwork", "squirrel", 3, 96, 0.5),
+        )
+    },
     # ---------------------------------------------------------------- SAN
     "SAN/peptides-func-SAN.yaml": ("configs/SAN/peptides-func-SAN.yaml", {
         "metric_best": "ap",
