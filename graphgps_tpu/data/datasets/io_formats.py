@@ -596,3 +596,69 @@ def read_geom_gcn_raw(root: str, name: str, split_index: int = 0
     masks = {k: np.asarray(z[k], bool)
              for k in ("train_mask", "val_mask", "test_mask")}
     return g, masks
+
+
+def read_planetoid_raw(root: str, name: str
+                       ) -> Optional[Tuple[Graph, Dict[str, np.ndarray]]]:
+    """Planetoid (Cora/CiteSeer/PubMed) classic ``ind.<name>.*`` layout:
+    pickled scipy matrices x/tx/allx (features), y/ty/ally (one-hot labels),
+    ``graph`` (adjacency dict) and ``test.index``. Reconstructs the standard
+    transductive split: train = first len(y) nodes, val = the next 500,
+    test = test.index (CiteSeer's isolated test nodes are zero-padded, as in
+    the standard processing)."""
+    lname = name.lower()
+    for base in (os.path.join(root, name, "raw"),
+                 os.path.join(root, lname, "raw"),
+                 os.path.join(root, "Planetoid", name, "raw"),
+                 os.path.join(root, "Planetoid", lname, "raw"), root):
+        if os.path.exists(os.path.join(base, f"ind.{lname}.x")):
+            break
+    else:
+        return None
+
+    def _load(part):
+        with open(os.path.join(base, f"ind.{lname}.{part}"), "rb") as f:
+            return pickle.load(f, encoding="latin1")
+
+    allx, tx = _load("allx"), _load("tx")
+    ally, ty = np.asarray(_load("ally")), np.asarray(_load("ty"))
+    y_train = np.asarray(_load("y"))
+    graph = _load("graph")
+    with open(os.path.join(base, f"ind.{lname}.test.index")) as f:
+        test_idx = np.asarray([int(l) for l in f.read().split()], np.int64)
+
+    n_all = allx.shape[0]
+    full_range = np.arange(test_idx.min(), test_idx.max() + 1)
+    n = n_all + len(full_range)
+    feat_dim = allx.shape[1]
+    x = np.zeros((n, feat_dim), np.float32)
+    x[:n_all] = np.asarray(allx.todense() if hasattr(allx, "todense") else allx)
+    tx_dense = np.asarray(tx.todense() if hasattr(tx, "todense") else tx)
+    # CiteSeer: test.index has gaps (isolated nodes stay zero) — scatter each
+    # test row to its true node index
+    pos = {int(t): i for i, t in enumerate(test_idx)}
+    for t, i in pos.items():
+        x[t] = tx_dense[i]
+
+    num_classes = ally.shape[1]
+    labels = np.zeros((n,), np.int64)
+    labels[:n_all] = ally.argmax(1)
+    for t, i in pos.items():
+        labels[t] = int(ty[i].argmax())
+
+    src, dst = [], []
+    for u, nbrs in graph.items():
+        for v in nbrs:
+            if u != v:
+                src.append(u)
+                dst.append(v)
+    both = np.unique(np.concatenate([np.stack([src, dst], 1),
+                                     np.stack([dst, src], 1)]), axis=0)
+    g = Graph(node_feat=x, edge_index=both.T.copy().astype(np.int64),
+              y=labels)
+    masks = {"train_mask": np.zeros(n, bool), "val_mask": np.zeros(n, bool),
+             "test_mask": np.zeros(n, bool)}
+    masks["train_mask"][: y_train.shape[0]] = True
+    masks["val_mask"][y_train.shape[0]: y_train.shape[0] + 500] = True
+    masks["test_mask"][test_idx] = True
+    return g, masks

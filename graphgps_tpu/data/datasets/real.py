@@ -312,3 +312,27 @@ def load_transductive_node(cfg) -> DatasetSplits:
         gs.extras["split_mask"] = masks[key]
         out[split] = [gs]
     return DatasetSplits(train=out["train"], val=out["val"], test=out["test"])
+
+
+@register_dataset("PyG-Planetoid")
+def load_planetoid(cfg) -> DatasetSplits:
+    """Planetoid citation networks Cora/CiteSeer/PubMed (reference
+    master_loader.py:118-119) — transductive, classic ind.* raw layout."""
+    import copy
+
+    parsed = (io_formats.read_planetoid_raw(
+        os.path.join(cfg.dataset.dir, "Planetoid"), cfg.dataset.name)
+        or io_formats.read_planetoid_raw(cfg.dataset.dir, cfg.dataset.name))
+    if parsed is None:
+        cfg2 = cfg  # reuse the synthetic transductive fallback
+        return load_transductive_node(cfg2)
+    g, masks = parsed
+    out = {}
+    for split, key in (("train", "train_mask"), ("val", "val_mask"),
+                       ("test", "test_mask")):
+        gs = copy.copy(g)
+        gs.extras = dict(g.extras)
+        gs.pe = dict(g.pe)
+        gs.extras["split_mask"] = masks[key]
+        out[split] = [gs]
+    return DatasetSplits(train=out["train"], val=out["val"], test=out["test"])

@@ -117,3 +117,45 @@ def test_actor_recipe_trains_on_fixture(tmp_path):
     stats = tmp_path / "out" / "actor-GPS" / "0" / "val" / "stats.json"
     rows = [json.loads(l) for l in stats.read_text().splitlines()]
     assert "accuracy" in rows[-1] and np.isfinite(rows[-1]["loss"])
+
+
+def test_planetoid_raw(tmp_path):
+    """Planetoid ind.* layout: feature/label reconstruction with CiteSeer-style
+    test-index gaps and the standard train/500-val/test split."""
+    import pickle
+
+    import scipy.sparse as sp
+
+    from graphgps_tpu.data.datasets.io_formats import read_planetoid_raw
+
+    d = os.path.join(str(tmp_path), "cora", "raw")
+    os.makedirs(d)
+    rng = np.random.default_rng(3)
+    n_train, n_val_extra, n_test, F, C = 6, 8, 5, 4, 3
+    n_all = n_train + n_val_extra
+    allx = sp.csr_matrix(rng.random((n_all, F)).astype(np.float32))
+    tx = sp.csr_matrix(rng.random((n_test, F)).astype(np.float32))
+    onehot = lambda k, n: np.eye(C, dtype=np.int64)[rng.integers(0, C, n)]
+    ally, ty, y = onehot(C, n_all), onehot(C, n_test), None
+    y = ally[:n_train]
+    # test indices with a GAP (isolated node) like CiteSeer
+    test_idx = np.array([n_all, n_all + 1, n_all + 3, n_all + 4, n_all + 5])
+    graph = {i: [(i + 1) % (n_all + 6)] for i in range(n_all + 6)}
+    for part, obj in (("x", allx[:n_train]), ("tx", tx), ("allx", allx),
+                      ("y", y), ("ty", ty), ("ally", ally), ("graph", graph)):
+        with open(os.path.join(d, f"ind.cora.{part}"), "wb") as f:
+            pickle.dump(obj, f)
+    with open(os.path.join(d, "ind.cora.test.index"), "w") as f:
+        f.write("\n".join(map(str, test_idx)) + "\n")
+
+    g, masks = read_planetoid_raw(str(tmp_path), "Cora")
+    assert g.num_nodes == n_all + 6
+    # gap node (n_all+2) has zero features and no test mask
+    assert np.allclose(g.node_feat[n_all + 2], 0)
+    assert not masks["test_mask"][n_all + 2]
+    assert masks["test_mask"].sum() == n_test
+    assert masks["train_mask"].sum() == n_train
+    # test rows landed at their true indices
+    np.testing.assert_allclose(g.node_feat[test_idx],
+                               np.asarray(tx.todense()), rtol=1e-6)
+    assert int(g.y[test_idx[0]]) == int(ty[0].argmax())
