@@ -72,13 +72,15 @@ def mha(q, k, v, key_mask, bias=None, dropout_rate: float = 0.0,
     Dispatch contract (documented + tested, tests/test_flash_mha.py):
     - the flash path applies softmax scaling internally (caller must NOT
       pre-scale q);
-    - attention-weight DROPOUT and attn-weight capture force the dense path,
-      because flash never materializes the (N, N) weights. Consequently a
-      recipe with ``gt.attn_dropout > 0`` trains on the O(N²) dense path even
-      at VOC/COCO node counts (eval still uses flash since dropout is off);
-      drop ``attn_dropout`` (most LRGB GPS recipes use 0.0) or accept the
-      dense cost. A one-time warning is logged when dropout forces dense at a
-      size flash would otherwise take.
+    - attention-weight DROPOUT and attn-weight capture cannot use flash
+      (it never materializes the (N, N) weights). With dropout, the dense
+      path runs up to N<1024 (measured on v5e at N=512 it beats chunked,
+      1.24 vs 1.46 ms fwd+bwd, and the O(N²) buffers still fit); from
+      N≥1024 the CHUNKED online-softmax path (ops/chunked_mha.py) takes
+      over: O(N·chunk) memory, exact softmax, per-chunk dropout — so
+      attn_dropout recipes train at code2/MalNet node counts without the
+      O(N²) memory blow-up. Attn-weight capture always forces dense (the
+      weights must exist to be captured).
     """
     from ..mha import mha_core
 
@@ -86,14 +88,20 @@ def mha(q, k, v, key_mask, bias=None, dropout_rate: float = 0.0,
     if not return_attn and flash_available(N, Dh):
         if dropout_rate == 0.0:
             return flash_mha(q, k, v, key_mask, bias)
-        global _warned_dropout_dense
-        if not _warned_dropout_dense:
-            _warned_dropout_dense = True
-            import logging
+        if N >= 1024:
+            from ..chunked_mha import chunked_mha
 
-            logging.getLogger("graphgps_tpu").warning(
-                "attn_dropout=%.2f forces dense O(N²) attention at N=%d where"
-                " flash would engage — set gt.attn_dropout 0.0 for the flash"
-                " path in training", dropout_rate, N)
+            global _warned_dropout_dense
+            if not _warned_dropout_dense:
+                _warned_dropout_dense = True
+                import logging
+
+                logging.getLogger("graphgps_tpu").info(
+                    "attn_dropout=%.2f at N=%d: using chunked online-softmax "
+                    "attention (flash memory class, dropout-capable)",
+                    dropout_rate, N)
+            return chunked_mha(q, k, v, key_mask, bias=bias,
+                               dropout_rate=dropout_rate,
+                               dropout_rng=dropout_rng)
     return mha_core(q, k, v, key_mask, bias=bias, dropout_rate=dropout_rate,
                     dropout_rng=dropout_rng, return_attn=return_attn)

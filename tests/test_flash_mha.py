@@ -53,14 +53,19 @@ def test_dropout_forces_dense():
 
 def test_dispatch_contract_dropout_forces_dense(monkeypatch):
     """Documented dispatch: flash at large N without dropout; attention
-    dropout (and attn-weight capture) force the dense path (VERDICT weak #6 —
-    the contract is now explicit and warned about)."""
+    dropout routes to the chunked online-softmax path; attn-weight capture
+    forces dense (the weights must exist to be captured)."""
+    import graphgps_tpu.ops.chunked_mha as cm
     import graphgps_tpu.ops.pallas.flash_mha as fm
 
     calls = []
     monkeypatch.setattr(fm, "flash_mha",
                         lambda *a, **k: calls.append("flash") or a[0])
     monkeypatch.setattr(fm, "flash_available", lambda n, d: n >= 256)
+    real_chunked = cm.chunked_mha
+    monkeypatch.setattr(cm, "chunked_mha",
+                        lambda *a, **k: calls.append("chunked")
+                        or real_chunked(*a, **k))
 
     import graphgps_tpu.ops.mha as mha_mod
     real_core = mha_mod.mha_core
@@ -70,13 +75,16 @@ def test_dispatch_contract_dropout_forces_dense(monkeypatch):
         return real_core(*a, **k)
     monkeypatch.setattr(mha_mod, "mha_core", spy_core)
 
-    B, H, N, Dh = 1, 2, 512, 16
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(B, H, N, Dh)).astype(np.float32))
-    mask = jnp.ones((B, N), bool)
+    mk = lambda n: (jnp.asarray(rng.normal(size=(1, 2, n, 16))
+                                .astype(np.float32)), jnp.ones((1, n), bool))
+    q5, m5 = mk(512)
+    q10, m10 = mk(1024)
 
-    fm.mha(q, q, q, mask)                             # no dropout → flash
-    fm.mha(q, q, q, mask, dropout_rate=0.5,
-           dropout_rng=jax.random.PRNGKey(0))         # dropout → dense
-    fm.mha(q, q, q, mask, return_attn=True)           # capture → dense
-    assert calls == ["flash", "dense", "dense"]
+    fm.mha(q5, q5, q5, m5)                            # no dropout → flash
+    fm.mha(q5, q5, q5, m5, dropout_rate=0.5,
+           dropout_rng=jax.random.PRNGKey(0))         # dropout, N<1024 → dense
+    fm.mha(q10, q10, q10, m10, dropout_rate=0.5,
+           dropout_rng=jax.random.PRNGKey(0))         # dropout, N≥1024 → chunked
+    fm.mha(q5, q5, q5, m5, return_attn=True)          # capture → dense
+    assert calls == ["flash", "dense", "chunked", "dense"]
