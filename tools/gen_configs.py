@@ -159,6 +159,38 @@ RECIPES = {
         "gnn": gnn("san_graph", 64),
         "optim": adamw_cosine(0.001, 2000, 50),
     }),
+    "GPS/zinc-GPS+RWSE-ckptbest.yaml": (
+        "configs/GPS/zinc-GPS+RWSE-ckptbest.yaml", {
+            "metric_best": "mae", "metric_agg": "argmin",
+            "dataset": zinc_ds("TypeDictNode+RWSE"),
+            "posenc_RWSE": {"enable": True,
+                            "kernel": {"times_func": "range(1,21)"},
+                            "model": "Linear", "dim_pe": 28,
+                            "raw_norm_type": "BatchNorm"},
+            "train": {"batch_size": 32, "ckpt_best": True,
+                      "ckpt_clean": True},
+            "model": {"type": "GPSModel", "loss_fun": "l1",
+                      "graph_pooling": "add"},
+            "gt": gps_gt("GINE+Transformer", 10, 4, 64),
+            "gnn": gnn("san_graph", 64),
+            "optim": adamw_cosine(0.001, 2000, 50),
+        }),
+    "GPS/zinc-GPS+RWSE-inference.yaml": (
+        "configs/GPS/zinc-GPS+RWSE-inference.yaml", {
+            "metric_best": "mae", "metric_agg": "argmin",
+            "dataset": zinc_ds("TypeDictNode+RWSE"),
+            "posenc_RWSE": {"enable": True,
+                            "kernel": {"times_func": "range(1,21)"},
+                            "model": "Linear", "dim_pe": 28,
+                            "raw_norm_type": "BatchNorm"},
+            "train": {"batch_size": 32, "mode": "inference-only"},
+            "model": {"type": "GPSModel", "loss_fun": "l1",
+                      "graph_pooling": "add"},
+            "gt": gps_gt("GINE+Transformer", 10, 4, 64),
+            "gnn": gnn("san_graph", 64),
+            "pretrained": {"dir": "pretrained/zinc-GPS+RWSE",
+                           "reset_prediction_head": False},
+        }),
     # ------------------------------------------------------------ GPS / OGB
     "GPS/ogbg-molhiv-GPS+RWSE.yaml": ("configs/GPS/ogbg-molhiv-GPS+RWSE.yaml", {
         "metric_best": "auroc",

@@ -23,6 +23,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # recipes that need artifacts a hermetic smoke run cannot fabricate
 SKIP = {
     "GPS/pcqm4m-GPSdeep-inference.yaml": "needs a pretrained checkpoint dir",
+    "GPS/zinc-GPS+RWSE-inference.yaml": "needs a pretrained checkpoint dir",
 }
 
 OVERRIDES = [
