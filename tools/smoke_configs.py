@@ -61,9 +61,11 @@ def main() -> int:
     cfgs = [c for c in cfgs if pattern in os.path.relpath(c, REPO)]
     out_root = tempfile.mkdtemp(prefix="ggps_smoke_")
     failed = []
+    skipped = 0
     for cfg in cfgs:
         rel = os.path.relpath(cfg, os.path.join(REPO, "configs"))
         if rel in SKIP:
+            skipped += 1
             print(f"SKIP {rel}: {SKIP[rel]}")
             continue
         t0 = time.time()
@@ -74,8 +76,8 @@ def main() -> int:
             failed.append(rel)
             print(f"FAIL {rel}")
             traceback.print_exc()
-    print(f"\n{len(cfgs) - len(failed) - len(SKIP)} ok, {len(failed)} failed,"
-          f" {len(SKIP)} skipped")
+    print(f"\n{len(cfgs) - len(failed) - skipped} ok, {len(failed)} failed,"
+          f" {skipped} skipped")
     return 1 if failed else 0
 
 
