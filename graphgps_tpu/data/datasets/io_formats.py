@@ -662,3 +662,41 @@ def read_planetoid_raw(root: str, name: str
     masks["val_mask"][y_train.shape[0]: y_train.shape[0] + 500] = True
     masks["test_mask"][test_idx] = True
     return g, masks
+
+
+def read_ogbl_raw(base: str
+                  ) -> Optional[Tuple[Graph, Dict[str, Dict[str, np.ndarray]]]]:
+    """OGB link-property-prediction raw layout (ogbl-*): ONE graph from
+    ``raw/edge.csv.gz`` (+ optional node-feat) and per-split labeled edge sets
+    from ``split/<scheme>/{train,valid,test}.pt`` torch pickles holding
+    {'edge': (E, 2), optional 'edge_neg': (En, 2)} arrays."""
+    raw = os.path.join(base, "raw")
+    if not os.path.isdir(raw):
+        return None
+    edges = _read_csv_gz(os.path.join(raw, "edge.csv.gz"), np.int64)
+    if edges is None:
+        return None
+    nfeat = _read_csv_gz(os.path.join(raw, "node-feat.csv.gz"), np.float32)
+    nn = _read_csv_gz(os.path.join(raw, "num-node-list.csv.gz"), np.int64)
+    n = int(nn.ravel()[0]) if nn is not None else int(edges.max()) + 1
+    x = nfeat if nfeat is not None else np.zeros((n, 1), np.float32)
+    ei = np.concatenate([edges, edges[:, ::-1]]).T.astype(np.int64)
+    g = Graph(node_feat=np.asarray(x, np.float32), edge_index=ei)
+
+    split_root = os.path.join(base, "split")
+    if not os.path.isdir(split_root):
+        return None
+    schemes = sorted(d for d in os.listdir(split_root)
+                     if os.path.isdir(os.path.join(split_root, d)))
+    if not schemes:
+        return None
+    sd = os.path.join(split_root, schemes[0])
+    splits: Dict[str, Dict[str, np.ndarray]] = {}
+    for split, fname in (("train", "train.pt"), ("val", "valid.pt"),
+                         ("test", "test.pt")):
+        p = os.path.join(sd, fname)
+        if not os.path.exists(p):
+            return None
+        d = _torch_load(p)
+        splits[split] = {k: _to_np(v) for k, v in d.items()}
+    return g, splits

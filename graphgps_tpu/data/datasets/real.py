@@ -185,6 +185,8 @@ def load_ogb(cfg) -> DatasetSplits:
     name = cfg.dataset.name
     if name.startswith("ogbg"):
         return _load_ogb_graph(cfg, name.replace("_", "-"))
+    if name.startswith("ogbl-"):
+        return _load_ogbl(cfg, name)
     if name.startswith("PCQM4Mv2Contact-"):
         from .more_real import pcqm4mv2_contact
         return pcqm4mv2_contact(cfg)
@@ -334,5 +336,59 @@ def load_planetoid(cfg) -> DatasetSplits:
         gs.extras = dict(g.extras)
         gs.pe = dict(g.pe)
         gs.extras["split_mask"] = masks[key]
+        out[split] = [gs]
+    return DatasetSplits(train=out["train"], val=out["val"], test=out["test"])
+
+
+def _load_ogbl(cfg, name: str) -> DatasetSplits:
+    """ogbl-* link prediction (reference master_loader.py:163-175: GraphGym
+    load_ogb + int edge labels). ONE shared graph; per-split labeled edge sets
+    in extras['edge_label_index'/'edge_label'] (positives from 'edge', hold-out
+    negatives from 'edge_neg'; train negatives via the sampling transforms /
+    dataset.resample_negative)."""
+    import copy
+
+    base = os.path.join(cfg.dataset.dir, name.replace("-", "_"))
+    parsed = io_formats.read_ogbl_raw(base)
+    if parsed is None:
+        if not cfg.dataset.get("synthetic_fallback", True):
+            raise FileNotFoundError(f"{name} not cached under {cfg.dataset.dir}")
+        log.warning("%s not cached — substituting synthetic link-pred graph",
+                    name)
+        rng = np.random.default_rng(cfg.dataset.synth_seed)
+        n = 64
+        e = rng.integers(0, n, size=(200, 2))
+        g = Graph(node_feat=rng.normal(size=(n, 8)).astype(np.float32),
+                  edge_index=np.concatenate([e, e[:, ::-1]]).T)
+        splits = {}
+        for s in ("train", "val", "test"):
+            pos = rng.integers(0, n, size=(30, 2))
+            d = {"edge": pos}
+            if s != "train":
+                d["edge_neg"] = rng.integers(0, n, size=(30, 2))
+            splits[s] = d
+    else:
+        g, splits = parsed
+
+    from .more_real import structured_neg_sampling_transform
+
+    out = {}
+    rng = np.random.default_rng(cfg.seed)
+    for split, d in splits.items():
+        gs = copy.copy(g)
+        gs.extras = dict(g.extras)
+        gs.pe = dict(g.pe)
+        pos = np.asarray(d["edge"], np.int64).T
+        if "edge_neg" in d:  # held-out negatives ship with the split
+            neg = np.asarray(d["edge_neg"], np.int64).T
+            gs.extras["edge_label_index"] = np.concatenate([pos, neg], 1)
+            gs.extras["edge_label"] = np.concatenate(
+                [np.ones(pos.shape[1], np.float32),
+                 np.zeros(neg.shape[1], np.float32)]).astype(np.int64)
+        else:  # train split: sample negatives (int labels per reference)
+            gs.extras["edge_label_index"] = pos
+            gs.extras["edge_label"] = np.ones(pos.shape[1], np.float32)
+            structured_neg_sampling_transform(gs, rng)
+            gs.extras["edge_label"] = gs.extras["edge_label"].astype(np.int64)
         out[split] = [gs]
     return DatasetSplits(train=out["train"], val=out["val"], test=out["test"])

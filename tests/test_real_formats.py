@@ -649,3 +649,42 @@ def test_csl_raw(cfg):
     assert g.num_nodes == 8 and g.num_edges == 16
     assert g.node_feat.shape == (8, 1)  # featureless zero column
     assert 0 <= int(g.y[0]) < 5
+
+
+def test_ogbl_raw(cfg):
+    """ogbl-* link prediction: one big graph + per-split labeled edge sets
+    from torch .pt split files (reference master_loader.py:163-175)."""
+    from graphgps_tpu.data.datasets.real import load_ogb
+
+    base = os.path.join(cfg.dataset.dir, "ogbl_collab")
+    raw = os.path.join(base, "raw")
+    os.makedirs(raw)
+    rng = np.random.default_rng(9)
+    n, e = 30, 80
+    edges = rng.integers(0, n, size=(e, 2))
+    _csv_gz(os.path.join(raw, "edge.csv.gz"), edges)
+    _csv_gz(os.path.join(raw, "num-node-list.csv.gz"), [n])
+    _csv_gz(os.path.join(raw, "node-feat.csv.gz"),
+            np.round(rng.random((n, 4)), 3))
+    sd = os.path.join(base, "split", "time")
+    os.makedirs(sd)
+    for split, fname, with_neg in (("train", "train.pt", False),
+                                   ("valid", "valid.pt", True),
+                                   ("test", "test.pt", True)):
+        d = {"edge": rng.integers(0, n, size=(12, 2))}
+        if with_neg:
+            d["edge_neg"] = rng.integers(0, n, size=(12, 2))
+        torch.save(d, os.path.join(sd, fname))
+
+    cfg.dataset.format, cfg.dataset.name = "OGB", "ogbl-collab"
+    ds = load_ogb(cfg)
+    g_tr, g_va = ds.train[0], ds.val[0]
+    assert g_tr.num_nodes == n and g_tr.num_edges == 2 * e
+    assert g_tr.node_feat.shape == (n, 4)
+    # val carries official negatives; labels are INT (reference convert_to_int)
+    assert g_va.extras["edge_label"].dtype == np.int64
+    assert (g_va.extras["edge_label"][:12] == 1).all()
+    assert (g_va.extras["edge_label"][12:] == 0).all()
+    # train negatives sampled, int labels, validity mask present
+    assert g_tr.extras["edge_label"].dtype == np.int64
+    assert "edge_label_mask" in g_tr.extras
