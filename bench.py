@@ -179,16 +179,18 @@ def bench_shape(make_cfg, windows=5, iters=300):
     jitted = jax.jit(raw_train, donate_argnums=(0,))
     rng = jax.random.PRNGKey(0)
 
+    # lower/compile through the SAME jitted callable so the warmup call reuses
+    # the executable (a separate jit here would compile every shape twice —
+    # minutes through the remote-compile tunnel)
     flops = None
     try:
-        lowered = jax.jit(raw_train).lower(state, gb, rng)
-        cost = lowered.compile().cost_analysis()
+        cost = jitted.lower(state, gb, rng).compile().cost_analysis()
         if cost and "flops" in cost:
             flops = float(cost["flops"])
     except Exception:
         pass
 
-    state, loss, _, _, _ = jitted(state, gb, rng)  # warmup/compile
+    state, loss, _, _, _ = jitted(state, gb, rng)  # warmup (cached compile)
     jax.block_until_ready(loss)
     ws = []
     for _ in range(windows):

@@ -23,8 +23,25 @@ def round_up(x: int, multiple: int) -> int:
 
 # extras whose axes scale with the graph's node count and must pad to the
 # batch node cap (everything else pads to the per-key batch maximum)
-NODE_SIZED_EXTRAS = frozenset({"spatial_types", "attn_bias",
-                               "shortest_path_types", "split_mask"})
+# Known node-shaped extras → WHICH axes are node-sized (pad to Nmax). An
+# equality heuristic against num_nodes misfires when an unrelated axis (e.g.
+# shortest_path_types' hop axis = num_spatial_types, or EigVals' max_freqs)
+# happens to equal a graph's node count — explicit axes are unambiguous.
+NODE_SIZED_AXES = {
+    "spatial_types": (0, 1),          # (N, N)
+    "attn_bias": (1, 2),              # (H, N, N)
+    "shortest_path_types": (0, 1),    # (N, N, num_spatial_types)
+    "split_mask": (0,),               # (N,)
+}
+NODE_SIZED_EXTRAS = frozenset(NODE_SIZED_AXES)
+
+
+def extras_pad_shape(key: str, v: "np.ndarray", per_dim_max, Nmax: int):
+    """Padded per-graph shape for one extras entry: node-sized axes → Nmax,
+    the rest → the batch maximum (``per_dim_max(d)``)."""
+    node_axes = NODE_SIZED_AXES.get(key, ())
+    return [Nmax if d in node_axes else per_dim_max(d)
+            for d in range(v.ndim)]
 
 
 def choose_caps(graphs: Sequence[Graph], node_multiple: int = 8,
@@ -102,17 +119,9 @@ def collate(graphs: List[Graph], batch_size: int, max_nodes: int, max_edges: int
         pe_out[k] = np.zeros((B * Nmax, *v.shape[1:]), dtype=v.dtype)
     extras_out: Dict[str, np.ndarray] = {}
     for k, v in g0.extras.items():
-        # node-sized axes of known node-shaped extras pad to Nmax; all other
-        # axes pad to the batch maximum. (An equality heuristic against
-        # num_nodes would misfire whenever an unrelated dimension — e.g.
-        # EigVals' max_freqs — happens to equal a graph's node count.)
-        shp = []
-        for d in range(v.ndim):
-            if k in NODE_SIZED_EXTRAS and v.shape[d] == g0.num_nodes:
-                shp.append(Nmax)
-            else:
-                shp.append(max(g.extras[k].shape[d] for g in graphs
-                               if k in g.extras))
+        shp = extras_pad_shape(
+            k, v, lambda d: max(g.extras[k].shape[d] for g in graphs
+                                if k in g.extras), Nmax)
         extras_out[k] = np.zeros((B, *shp), dtype=v.dtype)
 
     e_off = 0

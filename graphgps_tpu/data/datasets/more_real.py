@@ -272,7 +272,10 @@ def tu_dataset(cfg) -> DatasetSplits:
         if name.startswith("IMDB-") or name == "COLLAB":
             for g in graphs:  # T.Constant() analog
                 g.node_feat = np.ones((g.num_nodes, 1), dtype=np.float32)
-        return _split(graphs)
+        # TU raw files are class-ordered — shuffle deterministically so the
+        # contiguous 80/10/10 slices are class-balanced
+        order = np.random.default_rng(42).permutation(len(graphs))
+        return _split([graphs[i] for i in order])
     ds = _npz_splits(os.path.join(cfg.dataset.dir, f"tu-{name.lower()}.npz"))
     if ds is not None:
         return ds

@@ -249,7 +249,10 @@ def load_gnn_benchmark(cfg) -> DatasetSplits:
         if graphs is None:
             return _fallback(cfg, "voc-like")
         from .synthetic import _split
-        return _split(graphs)
+        # CSL raw is stored class-by-class — contiguous slices would give
+        # single-class test splits; shuffle deterministically first
+        order = np.random.default_rng(42).permutation(len(graphs))
+        return _split([graphs[i] for i in order])
     raw = (io_formats.read_gnnbenchmark_pt(root, name)
            or io_formats.read_gnnbenchmark_pt(cfg.dataset.dir, name))
     if raw is None:
@@ -262,6 +265,15 @@ def load_gnn_benchmark(cfg) -> DatasetSplits:
                          meta=meta)
 
 
+def _mask_splits(g: Graph, masks) -> DatasetSplits:
+    """One shared graph -> three split views with per-split node masks."""
+    views = {split: [g.clone_with_extras(split_mask=masks[key])]
+             for split, key in (("train", "train_mask"), ("val", "val_mask"),
+                                ("test", "test_mask"))}
+    return DatasetSplits(train=views["train"], val=views["val"],
+                         test=views["test"])
+
+
 @register_dataset("PyG-WebKB")
 @register_dataset("PyG-WikipediaNetwork")
 @register_dataset("PyG-Actor")
@@ -271,8 +283,6 @@ def load_transductive_node(cfg) -> DatasetSplits:
     chameleon,squirrel with geom-gcn splits). ONE graph shared by all three
     splits; per-split node masks ride ``extras['split_mask']`` and AND into
     the loss/metric mask (train/loop.py::_loss_mask)."""
-    import copy
-
     fam = cfg.dataset.format.replace("PyG-", "")
     root = os.path.join(cfg.dataset.dir, fam)
     parsed = (io_formats.read_geom_gcn_raw(root, cfg.dataset.name,
@@ -305,23 +315,13 @@ def load_transductive_node(cfg) -> DatasetSplits:
     else:
         g, masks = parsed
 
-    out = {}
-    for split, key in (("train", "train_mask"), ("val", "val_mask"),
-                       ("test", "test_mask")):
-        gs = copy.copy(g)
-        gs.extras = dict(g.extras)
-        gs.pe = dict(g.pe)
-        gs.extras["split_mask"] = masks[key]
-        out[split] = [gs]
-    return DatasetSplits(train=out["train"], val=out["val"], test=out["test"])
+    return _mask_splits(g, masks)
 
 
 @register_dataset("PyG-Planetoid")
 def load_planetoid(cfg) -> DatasetSplits:
     """Planetoid citation networks Cora/CiteSeer/PubMed (reference
     master_loader.py:118-119) — transductive, classic ind.* raw layout."""
-    import copy
-
     parsed = (io_formats.read_planetoid_raw(
         os.path.join(cfg.dataset.dir, "Planetoid"), cfg.dataset.name)
         or io_formats.read_planetoid_raw(cfg.dataset.dir, cfg.dataset.name))
@@ -329,15 +329,7 @@ def load_planetoid(cfg) -> DatasetSplits:
         cfg2 = cfg  # reuse the synthetic transductive fallback
         return load_transductive_node(cfg2)
     g, masks = parsed
-    out = {}
-    for split, key in (("train", "train_mask"), ("val", "val_mask"),
-                       ("test", "test_mask")):
-        gs = copy.copy(g)
-        gs.extras = dict(g.extras)
-        gs.pe = dict(g.pe)
-        gs.extras["split_mask"] = masks[key]
-        out[split] = [gs]
-    return DatasetSplits(train=out["train"], val=out["val"], test=out["test"])
+    return _mask_splits(g, masks)
 
 
 def _load_ogbl(cfg, name: str) -> DatasetSplits:
@@ -346,8 +338,6 @@ def _load_ogbl(cfg, name: str) -> DatasetSplits:
     in extras['edge_label_index'/'edge_label'] (positives from 'edge', hold-out
     negatives from 'edge_neg'; train negatives via the sampling transforms /
     dataset.resample_negative)."""
-    import copy
-
     base = os.path.join(cfg.dataset.dir, name.replace("-", "_"))
     parsed = io_formats.read_ogbl_raw(base)
     if parsed is None:
@@ -375,9 +365,7 @@ def _load_ogbl(cfg, name: str) -> DatasetSplits:
     out = {}
     rng = np.random.default_rng(cfg.seed)
     for split, d in splits.items():
-        gs = copy.copy(g)
-        gs.extras = dict(g.extras)
-        gs.pe = dict(g.pe)
+        gs = g.clone_with_extras()
         pos = np.asarray(d["edge"], np.int64).T
         if "edge_neg" in d:  # held-out negatives ship with the split
             neg = np.asarray(d["edge_neg"], np.int64).T

@@ -48,6 +48,14 @@ class Graph:
     def num_edges(self) -> int:
         return int(self.edge_index.shape[1])
 
+    def clone_with_extras(self, **extras) -> "Graph":
+        """Shallow view sharing the array fields but with OWN pe/extras dicts
+        (plus the given extra entries) — the transductive one-graph-many-
+        splits pattern."""
+        g = dataclasses.replace(self, pe=dict(self.pe),
+                                extras={**self.extras, **extras})
+        return g
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)

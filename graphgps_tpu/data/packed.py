@@ -147,15 +147,11 @@ def collate_packed(p: PackedGraphs, sel: np.ndarray, batch_size: int,
     if p.graphs and p.graphs[int(sel[0])].extras:
         # extras are rare (attn_bias, eigvals, link labels) — assemble via numpy
         g0 = p.graphs[int(sel[0])]
-        from .batching import NODE_SIZED_EXTRAS
+        from .batching import extras_pad_shape
         for k, v in g0.extras.items():
-            shp = []
-            for d in range(v.ndim):
-                if k in NODE_SIZED_EXTRAS and v.shape[d] == g0.num_nodes:
-                    shp.append(Nmax)
-                else:
-                    shp.append(max(p.graphs[int(gi)].extras[k].shape[d]
-                                   for gi in sel))
+            shp = extras_pad_shape(
+                k, v, lambda d: max(p.graphs[int(gi)].extras[k].shape[d]
+                                    for gi in sel), Nmax)
             buf = np.zeros((B, *shp), dtype=v.dtype)
             for i, gi in enumerate(sel):
                 vv = p.graphs[int(gi)].extras[k]

@@ -167,9 +167,16 @@ def make_scan_steps(cfg, model, tx, loader):
         def body(st, inp):
             sel, i = inp
             batch = assemble_impl(tree, sel, Nmax, B)
-            st, loss, pred, true, mask = raw(
+            st2, loss, pred, true, mask = raw(
                 st, batch, jax.random.fold_in(rng, i))
-            return st, (loss, pred, true, mask)
+            # the trailing group may contain ALL-padding filler batches: they
+            # must not move params (adamW decays even on zero grads), advance
+            # the step, or pollute BatchNorm running stats — keep the old
+            # state for them (their log rows are dropped host-side too)
+            real = (sel >= 0).any()
+            st_out = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(real, a, b), st2, st)
+            return st_out, (loss, pred, true, mask)
 
         K = sels.shape[0]
         state, (losses, preds, trues, masks) = jax.lax.scan(

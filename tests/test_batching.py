@@ -70,3 +70,28 @@ def test_dense_view_roundtrip():
     dense = gb.dense_view(x)
     assert dense.shape == (2, 8, 1)
     assert (gb.flat_view(dense) == x).all()
+
+
+def test_extras_padding_uses_explicit_axes():
+    """shortest_path_types' hop axis must NOT be padded to Nmax when the first
+    graph coincidentally has num_spatial_types nodes (explicit-axes fix)."""
+    import numpy as np
+
+    from graphgps_tpu.data.batching import collate
+    from graphgps_tpu.data.graph import Graph
+
+    D = 6  # num_spatial_types
+    graphs = []
+    for n in (D, 4):  # FIRST graph has exactly D nodes — the old misfire
+        s = np.arange(n - 1)
+        ei = np.stack([np.concatenate([s, s + 1]), np.concatenate([s + 1, s])])
+        g = Graph(node_feat=np.zeros((n, 1), np.int64), edge_index=ei,
+                  y=np.array([1.0], np.float32))
+        g.extras["spatial_types"] = np.zeros((n, n), np.int64)
+        g.extras["shortest_path_types"] = np.zeros((n, n, D), np.int64)
+        g.extras["split_mask"] = np.ones((n,), bool)
+        graphs.append(g)
+    hb = collate(graphs, 2, 8, 64)
+    assert hb.extras["spatial_types"].shape == (2, 8, 8)
+    assert hb.extras["shortest_path_types"].shape == (2, 8, 8, D)  # hops != Nmax
+    assert hb.extras["split_mask"].shape == (2, 8)

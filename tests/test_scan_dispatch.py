@@ -42,3 +42,58 @@ def test_scan_dispatch_comparable_to_single_step(tmp_path):
     # every real graph is seen each epoch: epoch MAE computed over all 40
     # train targets (sanity via loss being a weighted mean, not NaN)
     assert np.isfinite(k4[0]["loss"])
+
+
+def test_phantom_batches_do_not_touch_state():
+    """The trailing all-padding filler batches of a scan group must not move
+    params, advance the step, or update BatchNorm running stats (they did —
+    adamW decay + empty-mask BN EMA corrupted eval after a few hundred epochs)."""
+    import jax
+    import jax.numpy as jnp
+
+    import graphgps_tpu.data.datasets  # noqa: F401
+    import graphgps_tpu.train.loop as L
+    from graphgps_tpu.config.config import new_cfg
+    from graphgps_tpu.data.datasets.base import load_dataset
+    from graphgps_tpu.data.device_loader import DeviceLoader
+    from graphgps_tpu.models.networks import build_model
+    from graphgps_tpu.optim.optimizers import make_tx
+
+    cfg = new_cfg()
+    cfg.dataset.synth_num_graphs = 24
+    cfg.dataset.synth_max_nodes = 12
+    cfg.gt.layers = 1
+    cfg.gt.dim_hidden = 16
+    cfg.gt.n_heads = 2
+    cfg.gnn.dim_inner = 16
+    cfg.train.batch_size = 4
+    cfg.train.steps_per_dispatch = 4
+    ds = load_dataset(cfg)
+    loader = DeviceLoader(ds.train, batch_size=4)
+    model = build_model(cfg, 1)
+    tx = make_tx(cfg)
+    _, gb0 = next(iter(loader))
+    state = L.init_state(cfg, model, gb0, 0, tx)
+    multi = L.make_scan_steps(cfg, model, tx, loader)
+
+    key = jax.random.PRNGKey(0)
+    sel_real = jnp.asarray(np.arange(16).reshape(4, 4).astype(np.int32))
+    sel_phantom = jnp.asarray(np.concatenate(
+        [np.arange(12).reshape(3, 4), -np.ones((1, 4))]).astype(np.int32))
+
+    s_a, *_ = multi(state, sel_phantom, key)
+    # 3 real steps + 1 phantom → step counter must be exactly 3
+    assert int(np.asarray(s_a.step)) == 3
+    # host snapshot BEFORE the next call (the jit donates its state arg)
+    params_a = jax.device_get(s_a.params)
+    stats_a = jax.device_get(s_a.batch_stats)
+
+    # phantom group (all -1) leaves EVERYTHING bitwise unchanged
+    s_b, *_ = multi(s_a, jnp.asarray(-np.ones((4, 4), np.int32)), key)
+    assert int(np.asarray(s_b.step)) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(params_a),
+                    jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(stats_a),
+                    jax.tree_util.tree_leaves(s_b.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
