@@ -164,6 +164,9 @@ def new_cfg() -> CfgNode:
         shuffle_split=True,
         # static shape buckets (TPU): 0 = auto from dataset maxima
         max_nodes=0, max_edges=0,
+        # device-arena PE row dtype ("" = float32; "bfloat16" halves the
+        # dominant float arena at PCQM4Mv2-full scale, cast back on gather)
+        device_pe_dtype="",
         # device-batched PE precompute (pe/device.py) when the enabled types
         # support it; host numpy engine otherwise
         posenc_device=False,

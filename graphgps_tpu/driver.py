@@ -150,10 +150,17 @@ def create_loaders(cfg: CfgNode, splits: DatasetSplits,
                             y_graph_level=y_graph_level,
                             epoch_transform=epoch_transform)
             continue
+        kw = {}
+        if use_device and cfg.dataset.get("device_pe_dtype"):
+            kw["pe_dtype"] = cfg.dataset.device_pe_dtype
         out[name] = LoaderCls(
             graphs, batch_size=bs, max_nodes=max_nodes, max_edges=max_edges,
             shuffle=(name == "train"), seed=cfg.seed,
-            y_graph_level=y_graph_level)
+            y_graph_level=y_graph_level, **kw)
+    tl = out.get("train")
+    if hasattr(tl, "hbm_bytes"):
+        log.info("device arenas: train split %.1f MB HBM (compact dtypes)",
+                 tl.hbm_bytes() / 1e6)
     return out
 
 

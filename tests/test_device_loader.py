@@ -125,3 +125,66 @@ def test_fused_steps_match_two_dispatch(tmp_path):
     la, *_ = eval2(state, b)
     lb, *_ = fused_eval(state, sel)
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6)
+
+
+def test_compact_arena_narrowing_bit_parity(rng):
+    """narrow_int compaction (int8/16 arenas) must be invisible downstream:
+    assembled batches are bit-identical to the uncompacted path and integer
+    outputs come back as int32 (PCQM4Mv2-full HBM-fit path, docs/ROADMAP.md)."""
+    from graphgps_tpu.data.device_loader import assemble, narrow_int
+
+    gs = _graphs(rng)
+    # int labels + an integer extra (spatial-type-like, small cardinality)
+    for i, g in enumerate(gs):
+        g.y = np.array([i % 3], dtype=np.int64)
+        g.extras["edge_label"] = np.full((3, 2), i % 5, dtype=np.int64)
+    dc = DeviceLoader(gs, batch_size=4, max_nodes=16, shuffle=False,
+                      compact=True)
+    df = DeviceLoader(gs, batch_size=4, max_nodes=16, shuffle=False,
+                      compact=False)
+    # arenas actually narrowed (features are tiny categoricals)
+    assert dc._tree["node_feat"].dtype == np.int8
+    assert dc._tree["senders"].dtype == np.int8
+    assert dc._tree["y"].dtype == np.int8
+    # uncompacted path: jnp.asarray clamps int64 -> int32 (x64 disabled)
+    assert df._tree["node_feat"].dtype == np.int32
+    assert dc.hbm_bytes() < df.hbm_bytes()
+    sel = np.arange(4, dtype=np.int32)
+    bc = assemble(dc._tree, sel, 16, 4)
+    bf = assemble(df._tree, sel, 16, 4)
+    assert bc.node_feat.dtype == np.int32
+    assert bc.y.dtype == np.int32
+    assert bc.extras["edge_label"].dtype == np.int32
+    for name in ("node_feat", "edge_feat", "senders", "receivers", "y"):
+        np.testing.assert_array_equal(np.asarray(getattr(bc, name)),
+                                      np.asarray(getattr(bf, name)))
+    np.testing.assert_array_equal(np.asarray(bc.extras["edge_label"]),
+                                  np.asarray(bf.extras["edge_label"]))
+
+
+def test_narrow_int_ranges():
+    from graphgps_tpu.data.device_loader import narrow_int
+
+    assert narrow_int(np.array([0, 119], np.int64)).dtype == np.int8
+    assert narrow_int(np.array([-5, 200], np.int64)).dtype == np.int16
+    assert narrow_int(np.array([0, 70000], np.int64)).dtype == np.int32
+    big = np.array([2 ** 40], np.int64)
+    assert narrow_int(big).dtype == np.int64  # out of int32 range: untouched
+    f = np.array([0.5], np.float32)
+    assert narrow_int(f) is f  # floats pass through
+
+
+def test_bf16_pe_arena_opt_in(rng):
+    import jax.numpy as jnp
+    from graphgps_tpu.data.device_loader import assemble
+
+    gs = _graphs(rng)
+    dl = DeviceLoader(gs, batch_size=4, max_nodes=16, shuffle=False,
+                      pe_dtype="bfloat16")
+    assert dl._tree["pe"]["pestat_RWSE"].dtype == jnp.bfloat16
+    _, gb = next(iter(dl))
+    # gathered rows come back f32, values within bf16 rounding of the source
+    assert gb.pe["pestat_RWSE"].dtype == jnp.float32
+    ref = np.concatenate([g.pe["pestat_RWSE"] for g in gs[:4]])
+    got = np.asarray(gb.pe["pestat_RWSE"])[np.asarray(gb.node_mask)]
+    np.testing.assert_allclose(got, ref, rtol=1e-2, atol=1e-2)

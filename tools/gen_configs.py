@@ -38,6 +38,26 @@ def rwse(dim_pe=16, k=17):
             "model": "Linear", "dim_pe": dim_pe, "raw_norm_type": "BatchNorm"}
 
 
+def signnet(max_freqs, dim_pe, model="DeepSet", post=3, phi_out=64):
+    return {"enable": True, "model": model, "dim_pe": dim_pe,
+            "layers": 8, "post_layers": post,
+            "phi_hidden_dim": 64, "phi_out_dim": phi_out,
+            "eigen": {"laplacian_norm": "none", "eigvec_norm": "L2",
+                      "max_freqs": max_freqs}}
+
+
+def eslap(max_freqs=8):
+    return {"enable": True,
+            "eigen": {"laplacian_norm": "none", "eigvec_norm": "L2",
+                      "max_freqs": max_freqs}}
+
+
+def graphormer_bias(num_spatial_types=20, degrees=64):
+    return {"enable": True, "node_degrees_only": False,
+            "num_spatial_types": num_spatial_types,
+            "num_in_degrees": degrees, "num_out_degrees": degrees}
+
+
 def gps_gt(layer_type, layers, heads, dim, dropout=0.0, attn_dropout=0.5):
     return {"layer_type": layer_type, "layers": layers, "n_heads": heads,
             "dim_hidden": dim, "dropout": dropout,
@@ -399,6 +419,272 @@ RECIPES = {
             ("wn-squirrel", "PyG-WikipediaNetwork", "squirrel", 3, 96, 0.5),
         )
     },
+    # ------------------------------------------- GPS PE-ablation variants
+    # (reference publishes one recipe per PE choice; mirrored here so every
+    # configs/GPS/* entry in the reference has a same-named analog)
+    "GPS/cifar10-GPS+RWSE.yaml": ("configs/GPS/cifar10-GPS+RWSE.yaml", {
+        "metric_best": "accuracy",
+        "dataset": bench_ds("CIFAR10", node_enc="LinearNode+RWSE",
+                            edge_enc="LinearEdge"),
+        "posenc_RWSE": rwse(dim_pe=16, k=17),
+        "train": {"batch_size": 16},
+        "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                  "graph_pooling": "mean"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 3, 4, 52),
+        "gnn": dict(gnn("default", 52, post=2), batchnorm=False),
+        "optim": adamw_cosine(0.001, 100, 5),
+    }),
+    **{
+        f"GPS/cifar10-GPS+{tag}.yaml": (f"configs/GPS/cifar10-GPS+{tag}.yaml", {
+            "metric_best": "accuracy",
+            "dataset": bench_ds("CIFAR10", node_enc="LinearNode+SignNet",
+                                edge_enc="LinearEdge"),
+            "posenc_SignNet": sn,
+            "train": {"batch_size": 16},
+            "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                      "graph_pooling": "mean"},
+            "gt": gps_gt("CustomGatedGCN+Transformer", 3, 4, 52),
+            "gnn": dict(gnn("default", 52, post=2), batchnorm=False),
+            "optim": adamw_cosine(0.001, 100, 5),
+        })
+        for tag, sn in (("SNDS", signnet(16, 16)),
+                        ("SNMLP", signnet(8, 8, "MLP", post=2, phi_out=4)))
+    },
+    "GPS/cifar10-GPS-ESLapPE.yaml": ("configs/GPS/cifar10-GPS-ESLapPE.yaml", {
+        "metric_best": "accuracy",
+        "dataset": bench_ds("CIFAR10", node_enc="LinearNode+EquivStableLapPE",
+                            edge_enc="LinearEdge"),
+        "posenc_EquivStableLapPE": eslap(8),
+        "train": {"batch_size": 16},
+        "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                  "graph_pooling": "mean"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 3, 4, 52),
+        "gnn": dict(gnn("default", 52, post=2), batchnorm=False),
+        "optim": adamw_cosine(0.001, 100, 5),
+    }),
+    "GPS/mnist-GPS-ESLapPE.yaml": ("configs/GPS/mnist-GPS-ESLapPE.yaml", {
+        "metric_best": "accuracy",
+        "dataset": bench_ds("MNIST", node_enc="LinearNode+EquivStableLapPE",
+                            edge_enc="LinearEdge"),
+        "posenc_EquivStableLapPE": eslap(8),
+        "train": {"batch_size": 16},
+        "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                  "graph_pooling": "mean"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 3, 4, 52),
+        "gnn": dict(gnn("default", 52), batchnorm=False),
+        "optim": adamw_cosine(0.001, 100, 5),
+    }),
+    "GPS/cluster-GPS-ESLapPE.yaml": ("configs/GPS/cluster-GPS-ESLapPE.yaml", {
+        "metric_best": "accuracy-SBM",
+        "dataset": bench_ds("CLUSTER", task="node",
+                            node_enc="LinearNode+EquivStableLapPE"),
+        "posenc_EquivStableLapPE": eslap(10),
+        "train": {"batch_size": 16},
+        "model": {"type": "GPSModel", "loss_fun": "weighted_cross_entropy"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 16, 8, 48, dropout=0.01),
+        "gnn": gnn("inductive_node", 48),
+        "optim": adamw_cosine(0.001, 100, 5),
+    }),
+    "GPS/pattern-GPS-ESLapPE.yaml": ("configs/GPS/pattern-GPS-ESLapPE.yaml", {
+        "metric_best": "accuracy-SBM",
+        "dataset": bench_ds("PATTERN", task="node",
+                            node_enc="LinearNode+EquivStableLapPE"),
+        "posenc_EquivStableLapPE": eslap(10),
+        "train": {"batch_size": 32},
+        "model": {"type": "GPSModel", "loss_fun": "weighted_cross_entropy"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 6, 4, 64),
+        "gnn": gnn("inductive_node", 64),
+        "optim": adamw_cosine(0.001, 100, 5),
+    }),
+    # --------------------------------------------- MalNet feature ablations
+    "GPS/malnettiny-GPS-noPE.yaml": ("configs/GPS/malnettiny-GPS-noPE.yaml", {
+        "metric_best": "accuracy",
+        "dataset": {"format": "PyG-MalNetTiny",
+                    "name": "LocalDegreeProfile", "task": "graph",
+                    "task_type": "classification", "node_encoder": False,
+                    "edge_encoder": True, "edge_encoder_name": "DummyEdge"},
+        "train": {"batch_size": 16},
+        "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                  "graph_pooling": "max"},
+        "gt": gps_gt("CustomGatedGCN+Performer", 5, 4, 64),
+        "gnn": gnn("default", 64, layers_pre_mp=1),
+        "optim": adamw_cosine(0.0005, 150, 10),
+    }),
+    **{
+        f"GPS/malnettiny-GPS{tag}.yaml": (
+            f"configs/GPS/malnettiny-GPS{tag}.yaml", {
+                "metric_best": "accuracy",
+                "dataset": {"format": "PyG-MalNetTiny",
+                            "name": "LocalDegreeProfile", "task": "graph",
+                            "task_type": "classification",
+                            "node_encoder": True, "node_encoder_name": enc,
+                            "edge_encoder": True,
+                            "edge_encoder_name": "DummyEdge"},
+                pe_key: pe,
+                "train": {"batch_size": 16},
+                "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                          "graph_pooling": "max"},
+                "gt": gps_gt("CustomGatedGCN+Performer", 5, 4, 64),
+                "gnn": gnn("default", 64),
+                "optim": adamw_cosine(0.0005, 150, 10),
+            })
+        for tag, enc, pe_key, pe in (
+            ("+SNDS", "SignNet", "posenc_SignNet", signnet(32, 32)),
+            ("+SNMLP", "SignNet", "posenc_SignNet",
+             signnet(10, 10, "MLP", post=2, phi_out=4)),
+            ("-ESLapPE", "LinearNode+EquivStableLapPE",
+             "posenc_EquivStableLapPE", eslap(10)),
+        )
+    },
+    # ------------------------------------------------ OGB-mol PE ablations
+    "GPS/ogbg-molhiv-GPS.yaml": ("configs/GPS/ogbg-molhiv-GPS.yaml", {
+        "metric_best": "auroc",
+        "dataset": mol_ds("ogbg-molhiv", "Atom+LapPE",
+                          "classification_binary"),
+        "posenc_LapPE": lap_pe(max_freqs=8, dim_pe=8),
+        "train": {"batch_size": 32},
+        "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                  "graph_pooling": "mean"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 10, 4, 64, dropout=0.05),
+        "gnn": gnn("san_graph", 64),
+        "optim": adamw_cosine(0.0001, 100, 5),
+    }),
+    "GPS/ogbg-molhiv-GPS-ESLapPE.yaml": (
+        "configs/GPS/ogbg-molhiv-GPS-ESLapPE.yaml", {
+            "metric_best": "auroc",
+            "dataset": mol_ds("ogbg-molhiv", "Atom+EquivStableLapPE",
+                              "classification_binary"),
+            "posenc_EquivStableLapPE": eslap(8),
+            "train": {"batch_size": 32},
+            "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                      "graph_pooling": "mean"},
+            "gt": gps_gt("CustomGatedGCN+Transformer", 10, 4, 64,
+                         dropout=0.05),
+            "gnn": gnn("san_graph", 64),
+            "optim": adamw_cosine(0.0001, 100, 5),
+        }),
+    "GPS/ogbg-molhiv-GPS+RWSEdev.yaml": (
+        "configs/GPS/ogbg-molhiv-GPS+RWSEdev.yaml", {
+            "metric_best": "auroc",
+            "dataset": mol_ds("ogbg-molhiv", "Atom+RWSE",
+                              "classification_binary"),
+            "posenc_RWSE": rwse(dim_pe=16, k=17),
+            "train": {"batch_size": 128},
+            "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                      "graph_pooling": "mean"},
+            "gt": gps_gt("CustomGatedGCN+Transformer", 2, 4, 72, dropout=0.3),
+            "gnn": dict(gnn("default", 72, post=1), dropout=0.3),
+            "optim": adamw_cosine(0.0001, 100, 5),
+        }),
+    "GPS/ogbg-molpcba-GPS.yaml": ("configs/GPS/ogbg-molpcba-GPS.yaml", {
+        "metric_best": "ap",
+        "dataset": mol_ds("ogbg-molpcba", "Atom+LapPE",
+                          "classification_multilabel"),
+        "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16),
+        "train": {"batch_size": 512},
+        "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                  "graph_pooling": "mean"},
+        "gt": gps_gt("CustomGatedGCN+Transformer", 5, 4, 384, dropout=0.2),
+        "gnn": gnn("default", 384, post=1),
+        "optim": adamw_cosine(0.0005, 100, 5),
+    }),
+    "GPS/ogbg-molpcba-GPS+SNDS.yaml": (
+        "configs/GPS/ogbg-molpcba-GPS+SNDS.yaml", {
+            "metric_best": "ap",
+            "dataset": mol_ds("ogbg-molpcba", "Atom+SignNet",
+                              "classification_multilabel"),
+            "posenc_SignNet": signnet(37, 37),
+            "train": {"batch_size": 512},
+            "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                      "graph_pooling": "mean"},
+            "gt": gps_gt("CustomGatedGCN+Transformer", 5, 4, 384,
+                         dropout=0.2),
+            "gnn": gnn("default", 384, post=1),
+            "optim": adamw_cosine(0.0005, 100, 5),
+        }),
+    "GPS/ogbg-molpcba-GPS-LapPE+RWSE.yaml": (
+        "configs/GPS/ogbg-molpcba-GPS-LapPE+RWSE.yaml", {
+            "metric_best": "ap",
+            "dataset": mol_ds("ogbg-molpcba", "Atom+LapPE+RWSE",
+                              "classification_multilabel"),
+            "posenc_LapPE": lap_pe(max_freqs=1, dim_pe=4),
+            "posenc_RWSE": rwse(dim_pe=20, k=17),
+            "train": {"batch_size": 512},
+            "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                      "graph_pooling": "mean"},
+            "gt": gps_gt("CustomGatedGCN+Transformer", 5, 4, 384,
+                         dropout=0.2),
+            "gnn": gnn("default", 384, post=1),
+            "optim": adamw_cosine(0.0005, 100, 5),
+        }),
+    "GPS/ogbg-molpcba-GPS-SNDS+RWSE.yaml": (
+        "configs/GPS/ogbg-molpcba-GPS-SNDS+RWSE.yaml", {
+            "metric_best": "ap",
+            "dataset": mol_ds("ogbg-molpcba", "Atom+SignNet+RWSE",
+                              "classification_multilabel"),
+            "posenc_SignNet": signnet(37, 32),
+            "posenc_RWSE": rwse(dim_pe=20, k=17),
+            "train": {"batch_size": 256},
+            "model": {"type": "GPSModel", "loss_fun": "cross_entropy",
+                      "graph_pooling": "mean"},
+            "gt": gps_gt("CustomGatedGCN+Transformer", 5, 4, 384,
+                         dropout=0.2),
+            "gnn": gnn("default", 384, post=1),
+            "optim": adamw_cosine(0.0005, 100, 5, batch_accumulation=2),
+        }),
+    # ---------------------------------------------- PCQM4Mv2 PE ablations
+    **{
+        f"GPS/pcqm4m-GPS{tag}.yaml": (f"configs/GPS/pcqm4m-GPS{tag}.yaml", {
+            "metric_best": "mae", "metric_agg": "argmin",
+            "dataset": mol_ds("PCQM4Mv2-full", f"Atom+{enc}", "regression"),
+            pe_key: pe,
+            "train": {"batch_size": 256, "ckpt_period": 100},
+            "model": {"type": "GPSModel", "loss_fun": "l1",
+                      "graph_pooling": "mean"},
+            "gt": gps_gt("CustomGatedGCN+Transformer", 5, 4, 304),
+            "gnn": gnn("san_graph", 304),
+            "optim": adamw_cosine(0.0005, 100, 5, wd=0.0),
+        })
+        for tag, enc, pe_key, pe in (
+            ("", "LapPE", "posenc_LapPE", lap_pe(max_freqs=8, dim_pe=8)),
+            ("+SNDS", "SignNet", "posenc_SignNet", signnet(21, 21)),
+            ("+SNMLP", "SignNet", "posenc_SignNet",
+             signnet(8, 8, "MLP", post=2, phi_out=4)),
+            ("-ESLapPE", "EquivStableLapPE", "posenc_EquivStableLapPE",
+             eslap(8)),
+        )
+    },
+    # --------------------------- GPS with Graphormer bias attention (+VN)
+    "GPS/zinc-GPSwGraphormer.yaml": (
+        "configs/GPS/zinc-GPSwGraphormer.yaml", {
+            "metric_best": "mae", "metric_agg": "argmin",
+            "dataset": zinc_ds("TypeDictNode+GraphormerBias+RWSE"),
+            "posenc_GraphormerBias": graphormer_bias(),
+            "posenc_RWSE": {"enable": True,
+                            "kernel": {"times_func": "range(1,21)"},
+                            "model": "Linear", "dim_pe": 28,
+                            "raw_norm_type": "BatchNorm"},
+            "graphormer": {"use_graph_token": False},
+            "train": {"batch_size": 32},
+            "model": {"type": "GPSModel", "loss_fun": "l1",
+                      "graph_pooling": "add"},
+            "gt": gps_gt("GINE+BiasedTransformer", 10, 4, 64),
+            "gnn": gnn("san_graph", 64),
+            "optim": adamw_cosine(0.001, 2000, 50),
+        }),
+    "GPS/zinc-GPSwGraphormer+VN.yaml": (
+        "configs/GPS/zinc-GPSwGraphormer+VN.yaml", {
+            "metric_best": "mae", "metric_agg": "argmin",
+            "dataset": zinc_ds("TypeDictNode+GraphormerBias"),
+            "posenc_GraphormerBias": graphormer_bias(),
+            "graphormer": {"use_graph_token": True},
+            "train": {"batch_size": 32},
+            "model": {"type": "GPSModel", "loss_fun": "l1",
+                      "graph_pooling": "graph_token"},
+            "gt": gps_gt("GINE+BiasedTransformer", 10, 4, 64),
+            "gnn": gnn("san_graph", 64),
+            "optim": adamw_cosine(0.001, 2000, 50),
+        }),
     # ---------------------------------------------------------------- SAN
     "SAN/peptides-func-SAN.yaml": ("configs/SAN/peptides-func-SAN.yaml", {
         "metric_best": "ap",
