@@ -109,6 +109,37 @@ def bench_ds(name, node_enc="LapPE", edge_enc="DummyEdge",
             "edge_encoder_name": edge_enc}
 
 
+def superpix_ds(which, node_enc, edge_enc="VOCEdge"):
+    """VOC/COCO superpixels dataset stanza (reference task 'graph' is our
+    'node': inductive node classification over superpixel graphs)."""
+    return {"format": f"PyG-{which}Superpixels",
+            "name": "edge_wt_region_boundary", "slic_compactness": 30,
+            "task": "node", "task_type": "classification",
+            "node_encoder": True, "node_encoder_name": node_enc,
+            "edge_encoder": True, "edge_encoder_name": edge_enc}
+
+
+def contact_ds(node_enc):
+    return {"format": "OGB", "name": "PCQM4Mv2Contact-shuffle",
+            "task": "graph", "task_type": "classification",
+            "node_encoder": True, "node_encoder_name": node_enc,
+            "edge_encoder": True, "edge_encoder_name": "Bond",
+            "resample_negative": True}
+
+
+def san_gt(layers, heads, dim, gamma, dropout=0.0):
+    return {"layers": layers, "n_heads": heads, "dim_hidden": dim,
+            "full_graph": True, "gamma": gamma, "dropout": dropout,
+            "layer_norm": False, "batch_norm": True, "residual": True}
+
+
+def custom_gnn_stack(layer_type, layers_mp, dim, head, post=1):
+    return {"head": head, "layers_pre_mp": 0, "layers_mp": layers_mp,
+            "layers_post_mp": post, "dim_inner": dim,
+            "layer_type": layer_type, "act": "relu", "residual": True,
+            "batchnorm": True, "dropout": 0.0}
+
+
 # recipe name -> (reference file, config dict)
 RECIPES = {
     # ----------------------------------------------------------- GPS / ZINC
@@ -788,6 +819,168 @@ RECIPES = {
                     "residual": True, "dropout": 0.0},
             "optim": plateau(0.001, 500, 20),
         }),
+    # ------------------------------------------ SAN benchmark suite (rest)
+    "SAN/cluster-SAN.yaml": ("configs/SAN/cluster-SAN.yaml", {
+        "metric_best": "accuracy-SBM",
+        "dataset": bench_ds("CLUSTER", task="node"),
+        "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16, norm="sym",
+                               model="Transformer", layers=1),
+        "train": {"batch_size": 16},
+        "model": {"type": "SANTransformer",
+                  "loss_fun": "weighted_cross_entropy"},
+        "gt": san_gt(16, 8, 48, 1e-1),
+        "gnn": gnn("inductive_node", 48),
+        "optim": plateau(0.0005, 1000, 10, optimizer="adam"),
+    }),
+    **{
+        f"SAN/{tag}superpixels-SAN.yaml": (
+            f"configs/SAN/{tag}superpixels-SAN.yaml", {
+                "metric_best": "f1",
+                "dataset": superpix_ds(which, "VOCNode+LapPE"),
+                "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16, norm="sym",
+                                       model="Transformer", layers=2),
+                "train": {"batch_size": 8},
+                "model": {"type": "SANTransformer",
+                          "loss_fun": "weighted_cross_entropy"},
+                "gt": san_gt(4, 8, 88, 1e-1),
+                "gnn": gnn("inductive_node", 88),
+                "optim": plateau(0.0005, epochs, pat, optimizer="adam",
+                                 batch_accumulation=4),
+            })
+        for tag, which, epochs, pat in (("voc", "VOC", 500, 20),
+                                        ("coco", "COCO", 100, 5))
+    },
+    "SAN/ogbg-molhiv-SAN.yaml": ("configs/SAN/ogbg-molhiv-SAN.yaml", {
+        "metric_best": "auroc",
+        "dataset": mol_ds("ogbg-molhiv", "Atom+LapPE",
+                          "classification_binary"),
+        "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16, norm="sym",
+                               model="Transformer", layers=3),
+        "train": {"batch_size": 64},
+        "model": {"type": "SANTransformer", "loss_fun": "cross_entropy",
+                  "graph_pooling": "add"},
+        "gt": san_gt(10, 4, 64, 1e-6, dropout=0.01),
+        "gnn": gnn("san_graph", 64),
+        "optim": plateau(0.0001, 1000, 20, optimizer="adam"),
+    }),
+    "SAN/ogbg-molpcba-SAN.yaml": ("configs/SAN/ogbg-molpcba-SAN.yaml", {
+        "metric_best": "ap",
+        "dataset": mol_ds("ogbg-molpcba", "Atom+LapPE",
+                          "classification_multilabel"),
+        "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16, norm="sym",
+                               model="Transformer", layers=3),
+        "train": {"batch_size": 512},
+        "model": {"type": "SANTransformer", "loss_fun": "cross_entropy",
+                  "graph_pooling": "add"},
+        "gt": san_gt(5, 4, 304, 1e-6, dropout=0.2),
+        "gnn": gnn("san_graph", 304),
+        "optim": plateau(0.0003, 1000, 20, optimizer="adam",
+                         batch_accumulation=2),
+    }),
+    "SAN/pcqm-contact-SAN.yaml": ("configs/SAN/pcqm-contact-SAN.yaml", {
+        "metric_best": "mrr",
+        "dataset": contact_ds("Atom+LapPE"),
+        "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16, norm="sym",
+                               model="Transformer", layers=2),
+        "train": {"batch_size": 256},
+        "model": {"type": "SANTransformer", "loss_fun": "cross_entropy",
+                  "edge_decoding": "dot"},
+        "gt": san_gt(4, 4, 84, 1e-5),
+        "gnn": gnn("inductive_edge", 84, post=1),
+        "optim": plateau(0.0003, 200, 10),
+    }),
+    "SAN/peptides-struct-SAN.yaml": ("configs/SAN/peptides-struct-SAN.yaml", {
+        "metric_best": "mae", "metric_agg": "argmin",
+        "dataset": mol_ds("peptides-structural", "Atom+LapPE", "regression"),
+        "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16, norm="sym",
+                               model="Transformer", layers=2),
+        "train": {"batch_size": 32},
+        "model": {"type": "SANTransformer", "loss_fun": "l1",
+                  "graph_pooling": "mean"},
+        "gt": san_gt(4, 4, 84, 1e-6),
+        "gnn": gnn("default", 84, post=1),
+        "optim": plateau(0.0003, 500, 20, batch_accumulation=4),
+    }),
+    # --------------------------------------- GatedGCN / GINE suite (rest)
+    "GatedGCN/cocosuperpixels-GatedGCN.yaml": (
+        "configs/GatedGCN/cocosuperpixels-GatedGCN.yaml", {
+            "metric_best": "f1",
+            "dataset": superpix_ds("COCO", "VOCNode"),
+            "train": {"batch_size": 32},
+            "model": {"type": "custom_gnn",
+                      "loss_fun": "weighted_cross_entropy"},
+            "gnn": custom_gnn_stack("gatedgcnconv", 8, 108,
+                                    "inductive_node", post=3),
+            "optim": plateau(0.0005, 500, 10, optimizer="adam"),
+        }),
+    "GatedGCN/pcqm-contact-GatedGCN.yaml": (
+        "configs/GatedGCN/pcqm-contact-GatedGCN.yaml", {
+            "metric_best": "mrr",
+            "dataset": contact_ds("Atom"),
+            "train": {"batch_size": 256},
+            "model": {"type": "custom_gnn", "loss_fun": "cross_entropy",
+                      "edge_decoding": "dot"},
+            "gnn": custom_gnn_stack("gatedgcnconv", 5, 138,
+                                    "inductive_edge"),
+            "optim": plateau(0.001, 200, 10),
+        }),
+    **{
+        f"GINE/{tag}superpixels-GINE.yaml": (
+            f"configs/GINE/{tag}superpixels-GINE.yaml", {
+                "metric_best": "f1",
+                "dataset": superpix_ds(which, "VOCNode"),
+                "train": {"batch_size": 32},
+                "model": {"type": "custom_gnn",
+                          "loss_fun": "weighted_cross_entropy"},
+                "gnn": custom_gnn_stack("gineconv", 8, 166,
+                                        "inductive_node", post=3),
+                "optim": plateau(0.0005, epochs, 10, optimizer="adam"),
+            })
+        for tag, which, epochs in (("voc", "VOC", 1000), ("coco", "COCO", 500))
+    },
+    "GINE/pcqm-contact-GINE.yaml": (
+        "configs/GINE/pcqm-contact-GINE.yaml", {
+            "metric_best": "mrr",
+            "dataset": contact_ds("Atom"),
+            "train": {"batch_size": 256},
+            "model": {"type": "custom_gnn", "loss_fun": "cross_entropy",
+                      "edge_decoding": "dot"},
+            "gnn": custom_gnn_stack("gineconv", 5, 208, "inductive_edge"),
+            "optim": plateau(0.001, 200, 10),
+        }),
+    # ------------------------------- Graphormer transductive node suite
+    **{
+        f"Graphormer/{tag}-Graphormer.yaml": (
+            f"configs/Graphormer/{tag}-Graphormer.yaml", {
+                "metric_best": "accuracy",
+                "dataset": {"format": fmt, "name": nm, "task": "node",
+                            "task_type": "classification",
+                            "transductive": True, "node_encoder": True,
+                            "node_encoder_name": "LinearNode+GraphormerBias",
+                            "edge_encoder": False},
+                "posenc_GraphormerBias": graphormer_bias(
+                    num_spatial_types=20, degrees=0) | {
+                        "num_in_degrees": din, "num_out_degrees": dout},
+                "train": {"eval_period": 5, "enable_ckpt": False},
+                "model": {"type": "Graphormer", "loss_fun": "cross_entropy"},
+                "graphormer": {"use_graph_token": False, "num_layers": 2,
+                               "num_heads": 4, "embed_dim": 64,
+                               "dropout": 0.2, "attention_dropout": 0.0,
+                               "mlp_dropout": 0.2, "input_dropout": 0.0},
+                "gnn": dict(gnn("node", 64, post=1, act="gelu"),
+                            dropout=0.2),
+                "optim": adamw_cosine(0.0005, 200, 10,
+                                      clip_grad_norm_value=5.0),
+            })
+        for tag, fmt, nm, din, dout in (
+            ("actor", "PyG-Actor", "none", 1297, 74),
+            ("webkb-cor", "PyG-WebKB", "cornell", 9, 94),
+            ("webkb-tex", "PyG-WebKB", "texas", 13, 105),
+            ("webkb-wis", "PyG-WebKB", "wisconsin", 12, 123),
+            ("wn-chameleon", "PyG-WikipediaNetwork", "chameleon", 729, 89),
+            ("wn-squirrel", "PyG-WikipediaNetwork", "squirrel", 1885, 265),
+        )
+    },
 }
 
 

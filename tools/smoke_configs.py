@@ -47,7 +47,11 @@ def run_one(cfg_path: str, out_root: str) -> None:
 
 
 def main() -> int:
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # FORCE CPU (don't setdefault: the axon sitecustomize presets
+    # JAX_PLATFORMS=axon, which would silently run the whole battery on —
+    # and contend for — the one TPU chip). GGPS_SMOKE_TPU=1 opts back in.
+    if os.environ.get("GGPS_SMOKE_TPU", "0") != "1":
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
     try:
