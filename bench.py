@@ -151,6 +151,62 @@ def bench_zinc_scan(K=8, windows=5, groups=40):
                 steps_per_dispatch=K)
 
 
+def bench_zinc_multiseed(S=4, K=8, windows=4, groups=20):
+    """Flagship recipe with seed-parallel training (train/multiseed.py):
+    jit(vmap(scan(step))) advances S independent seeds per dispatch. Aggregate
+    edges/s across seeds — the wall-clock rate at which the S-seed validation
+    suite actually trains."""
+    import jax
+    import jax.numpy as jnp
+
+    import graphgps_tpu.data.datasets  # noqa: F401
+    import graphgps_tpu.train.loop as L
+    from graphgps_tpu.config.config import new_cfg
+    from graphgps_tpu.data.device_loader import DeviceLoader
+    from graphgps_tpu.data.datasets.base import load_dataset
+    from graphgps_tpu.models.networks import build_model
+    from graphgps_tpu.optim.optimizers import make_tx
+    from graphgps_tpu.train.multiseed import _stack_states
+
+    cfg, dim_out = _zinc_cfg(new_cfg)
+    cfg.train.steps_per_dispatch = K
+    ds = load_dataset(cfg)
+    B = cfg.train.batch_size
+    loader = DeviceLoader(ds.train, batch_size=B)
+    model = build_model(cfg, dim_out)
+    tx = make_tx(cfg)
+    _, gb = next(iter(loader))
+    state = _stack_states([L.init_state(cfg, model, gb, s, tx)
+                           for s in range(S)])
+    vm = jax.jit(jax.vmap(L.scan_steps_core(cfg, model, tx, loader),
+                          in_axes=(None, 0, 0, 0)), donate_argnums=(1,))
+    tree = loader.arenas_tree
+    multi = lambda st, sels, keys: vm(tree, st, sels, keys)  # noqa: E731
+
+    n = loader.arenas.num_graphs_total
+    rng = np.random.default_rng(0)
+    sel = jnp.asarray(rng.integers(0, n, size=(S, K, B)).astype(np.int32))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(S))
+    state, losses, *_ = multi(state, sel, keys)  # compile
+    jax.block_until_ready(losses)
+    e_cnt = np.asarray(loader.arenas.e_count)
+    real_edges = float(e_cnt[np.asarray(sel).reshape(-1)].sum()) / K  # all S
+
+    ws = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for g in range(groups):
+            state, losses, *_ = multi(
+                state, sel, jax.vmap(lambda kk: jax.random.fold_in(kk, g))(
+                    keys))
+        jax.block_until_ready(losses)
+        ws.append((time.perf_counter() - t0) / (groups * K))
+    step_s = min(ws)
+    return dict(step_ms=round(step_s * 1e3, 4),
+                edges_per_sec=round(real_edges / step_s, 1),
+                num_seeds=S, steps_per_dispatch=K)
+
+
 def bench_shape(make_cfg, windows=5, iters=300):
     import jax
 
@@ -236,6 +292,7 @@ def main():
     flush(extra)
     stages = [
         ("zinc_bs32_scan8", lambda: bench_zinc_scan(K=8)),
+        ("zinc_bs32_scan8_seeds4", lambda: bench_zinc_multiseed(S=4, K=8)),
         ("voc512_bs8",
          lambda: bench_shape(_voc512_cfg, windows=4, iters=100)),
         ("pcqm_deep_bs256",

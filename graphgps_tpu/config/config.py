@@ -191,6 +191,9 @@ def new_cfg() -> CfgNode:
         # amortizes dispatch latency on tiny-graph recipes — see
         # train/loop.py make_scan_steps). 1 = classic one-step dispatch.
         steps_per_dispatch=1,
+        # with --repeat S: vmap ALL seeds' training onto one chip at once
+        # (train/multiseed.py) — small recipes train S seeds in ~1x wall time
+        parallel_seeds=False,
         profiler=False,           # jax.profiler trace of one post-compile epoch
     )
 

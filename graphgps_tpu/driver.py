@@ -228,7 +228,15 @@ def main(argv=None) -> None:
         log.info("mesh: %s", mesh)
 
     run_ids, seeds, split_indices = run_loop_settings(cfg, args.repeat)
-    for run_id, seed, split_index in zip(run_ids, seeds, split_indices):
+    handled = False
+    if (cfg.train.parallel_seeds and len(run_ids) > 1 and mesh is None
+            and len(set(split_indices)) == 1):
+        # seed-parallel: one vmapped trainer advances every seed per dispatch
+        from .train.multiseed import run_multiseed
+        cfg.dataset.split_index = split_indices[0]
+        handled = run_multiseed(cfg, run_ids, seeds)
+    for run_id, seed, split_index in zip(
+            *([], [], []) if handled else (run_ids, seeds, split_indices)):
         cfg.seed = seed
         cfg.run_id = run_id
         cfg.dataset.split_index = split_index

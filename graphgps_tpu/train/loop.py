@@ -146,23 +146,22 @@ def make_steps(cfg, model, tx):
             jax.jit(raw["eval"]))
 
 
-def make_scan_steps(cfg, model, tx, loader):
-    """K training steps per dispatch: ``lax.scan`` over device-assembled
-    batches inside ONE jitted call (requires a DeviceLoader).
+def scan_steps_core(cfg, model, tx, loader):
+    """Unjitted K-steps-per-dispatch scan body (see make_scan_steps).
 
-    On tiny-graph recipes (ZINC: ~0.25 ms of compute per step) the per-step
-    dispatch latency dominates wall clock; scanning K steps amortizes one
-    dispatch + one (K, B) index transfer over K optimizer steps. Enabled by
-    ``cfg.train.steps_per_dispatch > 1``. Per-step losses/preds/trues/masks
-    come back stacked for the logger.
-    """
+    Exposed separately so train/multiseed.py can ``jax.vmap`` it over a
+    leading seed axis before jitting.
+
+    The arena pytree is a runtime ARGUMENT, never a closure capture: a
+    closed-over device array becomes an HLO constant, and at PCQM4Mv2-full
+    scale that embeds the whole multi-GB split into the compile payload
+    (observed: remote-compile HTTP 413 at 1M graphs)."""
     from ..data.device_loader import assemble_impl
 
     raw = _build_raw_steps(cfg, model, tx)["train"]
-    tree = loader.arenas_tree
     Nmax, B = loader.max_nodes, loader.batch_size
 
-    def k_steps(state: TrainState, sels: jax.Array, rng):
+    def k_steps(tree, state: TrainState, sels: jax.Array, rng):
         # sels: (K, B) int32 graph indices (−1 = padded slot)
         def body(st, inp):
             sel, i = inp
@@ -183,8 +182,24 @@ def make_scan_steps(cfg, model, tx, loader):
             body, state, (sels, jnp.arange(K)))
         return state, losses, preds, trues, masks
 
-    donate = (0,) if cfg.parallel.donate else ()
-    return jax.jit(k_steps, donate_argnums=donate)
+    return k_steps
+
+
+def make_scan_steps(cfg, model, tx, loader):
+    """K training steps per dispatch: ``lax.scan`` over device-assembled
+    batches inside ONE jitted call (requires a DeviceLoader).
+
+    On tiny-graph recipes (ZINC: ~0.25 ms of compute per step) the per-step
+    dispatch latency dominates wall clock; scanning K steps amortizes one
+    dispatch + one (K, B) index transfer over K optimizer steps. Enabled by
+    ``cfg.train.steps_per_dispatch > 1``. Per-step losses/preds/trues/masks
+    come back stacked for the logger.
+    """
+    donate = (1,) if cfg.parallel.donate else ()
+    jitted = jax.jit(scan_steps_core(cfg, model, tx, loader),
+                     donate_argnums=donate)
+    tree = loader.arenas_tree
+    return lambda state, sels, rng: jitted(tree, state, sels, rng)
 
 
 def make_fused_steps(cfg, model, tx, loader):
@@ -200,17 +215,20 @@ def make_fused_steps(cfg, model, tx, loader):
     tree = loader.arenas_tree
     Nmax, B = loader.max_nodes, loader.batch_size
 
-    def fused_train(state, sel, rng):
-        batch = assemble_impl(tree, sel, Nmax, B)
+    # arena tree as argument, not closure — see scan_steps_core
+    def fused_train(t, state, sel, rng):
+        batch = assemble_impl(t, sel, Nmax, B)
         return raw["train"](state, batch, rng)
 
-    def fused_eval(state, sel):
-        batch = assemble_impl(tree, sel, Nmax, B)
+    def fused_eval(t, state, sel):
+        batch = assemble_impl(t, sel, Nmax, B)
         return raw["eval"](state, batch)
 
-    donate = (0,) if cfg.parallel.donate else ()
-    return (jax.jit(fused_train, donate_argnums=donate),
-            jax.jit(fused_eval))
+    donate = (1,) if cfg.parallel.donate else ()
+    jt = jax.jit(fused_train, donate_argnums=donate)
+    je = jax.jit(fused_eval)
+    return (lambda state, sel, rng: jt(tree, state, sel, rng),
+            lambda state, sel: je(tree, state, sel))
 
 
 def init_state(cfg, model, example_batch: GraphBatch, seed: int,

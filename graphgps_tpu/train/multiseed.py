@@ -1,0 +1,281 @@
+"""Seed-parallel training: vmap the full train step over S seeds at once.
+
+A TPU-native capability with no reference analog: the reference's ``--repeat``
+loop trains seeds strictly sequentially (/root/reference/main.py:118-172).
+Small-recipe GraphGPS steps leave most of a TPU chip idle (ZINC-bs32 runs at
+~2% MFU — dispatch latency and small matmuls, not FLOPs, bound the step), so
+S independent seeds batched along a leading axis train in nearly the wall
+time of ONE: a single ``jit(vmap(scan(train_step)))`` dispatch advances every
+seed K optimizer steps.
+
+Semantics match the sequential runs: per-seed param/BN init (same
+``init_state`` keys), per-seed epoch shuffle (same ``seed + epoch`` stream as
+DeviceLoader/train_epoch_scan), per-seed dropout rng chain, shared
+epoch-indexed LR schedule, per-seed best-epoch tracking and checkpoint
+slices, and one results/<run_id>/ tree per seed so ``agg_runs`` aggregates
+exactly as if the runs had been sequential. Numerics differ from sequential
+only through XLA batching of the matmuls (same reduction class, different
+fusion), not through data, init, or rng streams.
+
+Enabled by ``cfg.train.parallel_seeds: True`` + ``--repeat S``. Falls back to
+the sequential loop (returns False) when a constraint is unmet: needs the
+custom train mode, a DeviceLoader (device-resident arenas), no gradient
+accumulation, no mesh/pretrained/auto-resume, and an epoch-indexed scheduler
+(reduce_on_plateau would need per-seed LR divergence).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..logging_utils import SplitLogger
+from ..optim.optimizers import ReduceLROnPlateau, build_schedule, make_tx
+from ..config.config import resolve_metric_best
+from .loop import (TrainState, _build_raw_steps, _metric_cmp,
+                   _ranking_metrics, init_state, is_ckpt_epoch, is_eval_epoch,
+                   param_count, save_ckpt, scan_steps_core)
+
+log = logging.getLogger("graphgps_tpu")
+
+
+def _stack_states(states: List[TrainState]) -> TrainState:
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def _slice_state(state: TrainState, i: int) -> TrainState:
+    return jax.tree_util.tree_map(lambda l: l[i], state)
+
+
+def _set_lr_stacked(opt_state, lr: float, num_seeds: int) -> None:
+    """set_lr for a seed-stacked opt_state: every seed gets the same
+    epoch-indexed LR, written as an (S,) leaf so vmap's leading axis holds."""
+    def walk(s):
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            h = s.hyperparams["learning_rate"]
+            s.hyperparams["learning_rate"] = jnp.full((num_seeds,), lr,
+                                                      dtype=h.dtype)
+            return True
+        if isinstance(s, (tuple, list)):
+            return any([walk(x) for x in s])
+        if isinstance(s, dict):
+            return any([walk(x) for x in s.values()])
+        return False
+
+    walk(opt_state)
+
+
+def _feed_rows(logger: SplitLogger, rows, lr: float, wall: float) -> list:
+    """Host-side mirror of loop._drain_pending for already-fetched arrays."""
+    n = max(len(rows), 1)
+    out = []
+    for pred, true, mask, loss, real in rows:
+        pred = np.asarray(pred)
+        true = np.asarray(true) if true is not None else None
+        m = np.asarray(mask).reshape(-1)
+        if m.shape[0] != pred.shape[0]:
+            m = np.ones((pred.shape[0],), dtype=bool)
+        logger.update_stats(pred[m], true[m] if true is not None else None,
+                            float(loss), lr, wall / n, real)
+        out.append((pred, true))
+    return out
+
+
+def run_multiseed(cfg, run_ids: List[int], seeds: List[int]) -> bool:
+    """Train all ``seeds`` simultaneously; True when handled, False = caller
+    should fall back to the sequential per-seed loop."""
+    from ..data.device_loader import DeviceLoader
+    from ..driver import create_loaders, infer_dims
+    from ..data.datasets.base import load_dataset
+    from ..models.networks import build_model
+
+    def bail(why: str) -> bool:
+        log.warning("train.parallel_seeds: %s — falling back to "
+                    "sequential per-seed runs", why)
+        return False
+
+    if cfg.train.mode != "custom":
+        return bail(f"train mode {cfg.train.mode!r} is not 'custom'")
+    if max(1, cfg.optim.batch_accumulation) != 1:
+        return bail("batch_accumulation > 1")
+    if cfg.pretrained.dir:
+        return bail("fine-tuning from a pretrained dir")
+    if cfg.optim.scheduler == "reduce_on_plateau":
+        return bail("reduce_on_plateau needs per-seed LR state")
+    if cfg.wandb.use:
+        return bail("wandb logging is per-run")
+    if cfg.train.auto_resume:
+        return bail("auto_resume restores one run's checkpoint")
+    if cfg.train.get("profiler", False):
+        return bail("profiler traces are per-run")
+
+    S = len(seeds)
+    splits = load_dataset(cfg)
+    dim_out = infer_dims(cfg, splits)
+    loaders = create_loaders(cfg, splits, data_parallel=1)
+    train_loader = loaders["train"]
+    if not isinstance(train_loader, DeviceLoader):
+        return bail("train loader is not a DeviceLoader "
+                    "(dataset.use_device_batches)")
+
+    model = build_model(cfg, dim_out)
+    tx = make_tx(cfg)
+    _, example = next(iter(train_loader))
+    per_seed = [init_state(cfg, model, example, s, tx) for s in seeds]
+    n_params = param_count(per_seed[0].params)
+    cfg.share["params"] = n_params
+    state = _stack_states(per_seed)
+    del per_seed
+    log.info("parallel seeds: %d runs (seeds %s) vmapped on one chip; "
+             "model %s params %d", S, seeds, cfg.model.type, n_params)
+
+    # arena tree broadcast across the seed axis (in_axes=None) and passed as
+    # a runtime arg — never a jit constant (see scan_steps_core docstring)
+    arena_tree = train_loader.arenas_tree
+    vm = jax.jit(jax.vmap(scan_steps_core(cfg, model, tx, train_loader),
+                          in_axes=(None, 0, 0, 0)), donate_argnums=(1,))
+    multi = lambda st, sels, keys: vm(arena_tree, st, sels, keys)  # noqa: E731
+    eval_vm = jax.jit(jax.vmap(_build_raw_steps(cfg, model, tx)["eval"],
+                               in_axes=(0, None)))
+
+    schedule = build_schedule(cfg)
+    assert not isinstance(schedule, ReduceLROnPlateau)
+    metric = resolve_metric_best(cfg)
+    agg = cfg.metric_agg
+    if cfg.metric_best == "auto" and metric in ("mae", "mse", "rmse", "loss"):
+        agg = "argmin"
+    better = _metric_cmp(agg)
+
+    run_dirs = [os.path.join(cfg.out_dir, str(r)) for r in run_ids]
+    loggers = []
+    for rd in run_dirs:
+        os.makedirs(rd, exist_ok=True)
+        lg = {sp: SplitLogger(sp, rd, cfg.dataset.task_type, cfg.model.thresh,
+                              tensorboard=cfg.tensorboard_each_run)
+              for sp in loaders}
+        for l in lg.values():
+            l.params = n_params
+        loggers.append(lg)
+
+    rngs = jnp.stack([jax.random.PRNGKey(s + 1234) for s in seeds])
+    B = train_loader.batch_size
+    n = train_loader.arenas.num_graphs_total
+    K = max(1, cfg.train.steps_per_dispatch)
+    n_batches = -(-n // B)
+    n_groups = -(-n_batches // K)
+    best_val = [None] * S
+    best_epoch = [-1] * S
+    history: List[Dict[str, List[Dict]]] = [
+        {sp: [] for sp in loaders} for _ in range(S)]
+    epoch_times: List[float] = []
+
+    for epoch in range(cfg.optim.max_epoch):
+        lr = schedule(epoch)
+        _set_lr_stacked(state.opt_state, lr, S)
+
+        # per-seed epoch shuffle — the same (seed + loader.epoch) stream
+        # DeviceLoader/train_epoch_scan use (the example-batch draw above
+        # advanced loader.epoch to 1, exactly as run_single's does), so each
+        # vmapped lane sees exactly the batch order its sequential run would
+        sels = np.full((S, n_groups * K * B), -1, np.int64)
+        for si, seed in enumerate(seeds):
+            idx = np.arange(n)
+            np.random.default_rng(seed + train_loader.epoch + epoch).shuffle(
+                idx)
+            sels[si, :n] = idx
+        sels = sels.reshape(S, n_groups, K, B).astype(np.int32)
+        reals = (sels >= 0).sum(axis=3)  # (S, n_groups, K)
+
+        pair = jax.vmap(jax.random.split)(rngs)  # (S, 2, 2)
+        rngs, bases = pair[:, 0], pair[:, 1]
+        t0 = time.time()
+        pending = []
+        for gi in range(n_groups):
+            keys = jax.vmap(lambda kk: jax.random.fold_in(kk, gi))(bases)
+            state, losses, preds, trues, masks = multi(
+                state, jnp.asarray(sels[:, gi]), keys)
+            pending.append((losses, preds, trues, masks))
+        jax.block_until_ready(state.params)
+        wall = time.time() - t0
+        epoch_times.append(wall)
+
+        host = jax.device_get(pending)
+        for si in range(S):
+            rows = []
+            for gi, (losses, preds, trues, masks) in enumerate(host):
+                for k in range(K):
+                    real = int(reals[si, gi, k])
+                    if real == 0:
+                        continue
+                    rows.append((preds[si][k],
+                                 trues[si][k] if trues is not None else None,
+                                 masks[si][k], losses[si][k], real))
+            _feed_rows(loggers[si]["train"], rows, lr, wall)
+            history[si]["train"].append(
+                loggers[si]["train"].write_epoch(epoch))
+
+        if is_eval_epoch(cfg, epoch):
+            for sp in ("val", "test"):
+                if sp not in loaders:
+                    continue
+                ev_pending = []
+                ranking = []
+                t1 = time.time()
+                for item in loaders[sp]:
+                    real, batch = (item if isinstance(item, tuple)
+                                   else (int(np.asarray(
+                                       item.arrays["graph_mask"]).sum()),
+                                       item.to_graph_batch()))
+                    loss, pred, true, mask = eval_vm(state, batch)
+                    ev_pending.append((loss, pred, true, mask, real))
+                    lab = batch.extras.get("edge_label")
+                    if lab is not None and lab.ndim == 2:
+                        ranking.append((len(ev_pending) - 1, lab,
+                                        batch.extras.get("edge_label_mask")))
+                if ev_pending:
+                    jax.block_until_ready(ev_pending[-1][1])
+                ev_wall = time.time() - t1
+                ev_host = jax.device_get(ev_pending)
+                for si in range(S):
+                    rows = [(pred[si], true[si] if true is not None else None,
+                             mask[si], loss[si], real)
+                            for loss, pred, true, mask, real in ev_host]
+                    host_rows = _feed_rows(loggers[si][sp], rows, 0.0,
+                                           ev_wall)
+                    if ranking:
+                        loggers[si][sp].add_epoch_metrics(_ranking_metrics(
+                            ranking, host_rows))
+                    history[si][sp].append(
+                        loggers[si][sp].write_epoch(epoch))
+            curs = []
+            for si in range(S):
+                val_hist = history[si].get("val") or history[si]["train"]
+                cur = val_hist[-1].get(metric, val_hist[-1]["loss"])
+                curs.append(cur)
+                if best_val[si] is None or better(cur, best_val[si]):
+                    best_val[si] = cur
+                    best_epoch[si] = epoch
+                    if cfg.train.enable_ckpt and cfg.train.ckpt_best:
+                        save_ckpt(run_dirs[si], _slice_state(state, si),
+                                  epoch, None)
+            log.info("epoch %d lr %.2e val %s=%.5f ±%.5f over %d seeds "
+                     "(best %s) epoch_time %.2fs", epoch, lr, metric,
+                     float(np.mean(curs)), float(np.std(curs)), S,
+                     ["%.5f@%d" % (b, e) for b, e in zip(best_val,
+                                                         best_epoch)], wall)
+        if cfg.train.enable_ckpt and not cfg.train.ckpt_best \
+                and is_ckpt_epoch(cfg, epoch):
+            for si in range(S):
+                save_ckpt(run_dirs[si], _slice_state(state, si), epoch, None)
+
+    log.info("parallel seeds done: avg epoch %.2fs (all %d seeds per "
+             "dispatch); best val %s per seed: %s",
+             float(np.mean(epoch_times)) if epoch_times else 0.0, S, metric,
+             ["%.5f@%d" % (b if b is not None else float("nan"), e)
+              for b, e in zip(best_val, best_epoch)])
+    return True
