@@ -225,7 +225,7 @@ def assemble_impl(arenas_tree, sel: jax.Array, max_nodes: int,
         node_feat=nf, edge_feat=ef, senders=snd, receivers=rcv,
         node_mask=node_mask.reshape(-1), edge_mask=emask.reshape(-1),
         graph_mask=gmask, y=y, pe=pe, extras=extras,
-        num_graphs=B, max_nodes=Nmax)
+        num_graphs=B, max_nodes=Nmax, edge_block=Ecap)
 
 
 assemble = functools.partial(jax.jit, static_argnums=(2, 3))(assemble_impl)

@@ -81,6 +81,14 @@ class GraphBatch:
     # --- static metadata -------------------------------------------------------
     num_graphs: int = dataclasses.field(metadata=dict(static=True))
     max_nodes: int = dataclasses.field(metadata=dict(static=True))
+    # Per-graph edge-slot layout (device-assembled batches): edge slot j
+    # belongs to graph j // edge_block and its endpoints lie inside that
+    # graph's node range. Lets segment ops run as BLOCK-DIAGONAL batched
+    # one-hot matmuls on the MXU instead of global scatters (which serialize
+    # on TPU and cannot be hidden inside lax.scan). None = flat-packed edges
+    # (host collation) — global segment path.
+    edge_block: Optional[int] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def num_node_slots(self) -> int:

@@ -12,25 +12,40 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..data.graph import GraphBatch
-from ..ops.segment import segment_mean, segment_sum
+
 from ..registry import register_head, register_pooling
 from .common import MLP, get_act
 
 
+# Node slots are per-graph contiguous by construction (GraphBatch flat
+# layout), so graph pooling is a FREE dense reshape + masked axis-reduction —
+# no segment op (scatter/one-hot) needed at all.
+
+def _masked_dense(x: jax.Array, batch: GraphBatch, fill=0.0):
+    xd = batch.dense_view(x)                        # (B, Nmax, d...)
+    m = batch.dense_view(batch.node_mask)
+    m = m.reshape(m.shape + (1,) * (xd.ndim - m.ndim))
+    return jnp.where(m, xd, fill), m
+
+
 @register_pooling("add")
 def global_add_pool(x: jax.Array, batch: GraphBatch) -> jax.Array:
-    return segment_sum(x, batch.graph_id, batch.num_graphs, mask=batch.node_mask)
+    xd, _ = _masked_dense(x, batch)
+    return xd.sum(axis=1)
 
 
 @register_pooling("mean")
 def global_mean_pool(x: jax.Array, batch: GraphBatch) -> jax.Array:
-    return segment_mean(x, batch.graph_id, batch.num_graphs, mask=batch.node_mask)
+    xd, m = _masked_dense(x, batch)
+    cnt = m.sum(axis=1)
+    return xd.sum(axis=1) / jnp.maximum(cnt, 1e-6)
 
 
 @register_pooling("max")
 def global_max_pool(x: jax.Array, batch: GraphBatch) -> jax.Array:
-    from ..ops.segment import segment_max
-    return segment_max(x, batch.graph_id, batch.num_graphs, mask=batch.node_mask)
+    xd, m = _masked_dense(x, batch, fill=-jnp.inf)
+    out = xd.max(axis=1)
+    return jnp.where(jnp.isneginf(out), 0.0, out)  # empty graphs → 0
 
 
 @register_pooling("graph_token")

@@ -17,6 +17,13 @@ from flax import linen as nn
 from ..data.graph import GraphBatch
 from ..ops.segment import (segment_max, segment_mean, segment_min, segment_softmax,
                            segment_sum)
+
+
+def _seg_kw(batch: GraphBatch) -> dict:
+    """Blocked-segment dispatch info (ops/segment.py blocked_segment_sum):
+    device-assembled batches carry per-graph edge slots, turning segment sums
+    into block-diagonal MXU matmuls instead of TPU scatters."""
+    return dict(edge_block=batch.edge_block, max_nodes=batch.max_nodes)
 from ..registry import register_layer
 from .common import MLP, Norm, get_act
 
@@ -61,8 +68,8 @@ class GatedGCNLayer(nn.Module):
             if rij is not None:
                 sigma = sigma * nn.sigmoid(rij)
         msgs = sigma * Bx[s]
-        num = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask)
-        den = segment_sum(sigma, r, batch.num_node_slots, mask=batch.edge_mask)
+        num = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
+        den = segment_sum(sigma, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
         x_new = Ax + num / (den + 1e-6)
 
         a = get_act(self.act)
@@ -103,7 +110,7 @@ class GINELayer(nn.Module):
                                           num_layers=2, act="relu"))
             if rij is not None:
                 m = m * nn.sigmoid(rij)
-        agg = segment_sum(m, r, batch.num_node_slots, mask=batch.edge_mask)
+        agg = segment_sum(m, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
         h = (1.0 + eps) * x + agg
         h = MLP(hidden_dim=self.dim, out_dim=self.dim, num_layers=2,
                 act=self.act)(h)
@@ -125,7 +132,7 @@ class GINLayer(nn.Module):
     def __call__(self, batch: GraphBatch, x, e, train: bool):
         eps = self.param("eps", nn.initializers.zeros, ())
         agg = segment_sum(x[batch.senders], batch.receivers, batch.num_node_slots,
-                          mask=batch.edge_mask)
+                          mask=batch.edge_mask, **_seg_kw(batch))
         h = MLP(hidden_dim=self.dim, out_dim=self.dim, num_layers=2,
                 act=self.act)((1.0 + eps) * x + agg)
         return h, e
@@ -142,10 +149,10 @@ class GCNLayer(nn.Module):
         s, r = batch.senders, batch.receivers
         h = nn.Dense(self.dim)(x)
         ones = batch.edge_mask.astype(h.dtype)
-        deg = segment_sum(ones, r, batch.num_node_slots) + 1.0  # +1 self loop
+        deg = segment_sum(ones, r, batch.num_node_slots, **_seg_kw(batch)) + 1.0  # +1 self loop
         dinv = jax.lax.rsqrt(deg)
         msgs = (h[s] * dinv[s, None] * dinv[r, None])
-        agg = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask)
+        agg = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
         return agg + h * (dinv * dinv)[:, None], e
 
 
@@ -168,7 +175,7 @@ class GATLayer(nn.Module):
         alpha = nn.leaky_relu(alpha, self.negative_slope)
         attn = segment_softmax(alpha, r, batch.num_node_slots, mask=batch.edge_mask)
         msgs = h[s] * attn[..., None]
-        agg = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask)
+        agg = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
         return agg.reshape(x.shape[0], H * Dh), e
 
 
@@ -187,7 +194,7 @@ class GENConvLayer(nn.Module):
         m = nn.relu(x[s] + e) + self.eps
         w = segment_softmax(self.beta * m, r, batch.num_node_slots,
                             mask=batch.edge_mask)
-        agg = segment_sum(w * m, r, batch.num_node_slots, mask=batch.edge_mask)
+        agg = segment_sum(w * m, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
         h = MLP(hidden_dim=self.dim * 2, out_dim=self.dim, num_layers=2)(x + agg)
         return h, e
 
@@ -214,7 +221,7 @@ class PNALayer(nn.Module):
             m = nn.Dense(self.dim)(jnp.concatenate([x[s], x[r]], axis=-1))
 
         aggs = []
-        mean = segment_mean(m, r, S, mask=batch.edge_mask)
+        mean = segment_mean(m, r, S, mask=batch.edge_mask, **_seg_kw(batch))
         for name in self.aggregators:
             if name == "mean":
                 aggs.append(mean)
@@ -223,15 +230,15 @@ class PNALayer(nn.Module):
             elif name == "min":
                 aggs.append(segment_min(m, r, S, mask=batch.edge_mask))
             elif name == "std":
-                sq = segment_mean(m * m, r, S, mask=batch.edge_mask)
+                sq = segment_mean(m * m, r, S, mask=batch.edge_mask, **_seg_kw(batch))
                 aggs.append(jnp.sqrt(nn.relu(sq - mean * mean) + 1e-5))
             elif name == "sum":
-                aggs.append(segment_sum(m, r, S, mask=batch.edge_mask))
+                aggs.append(segment_sum(m, r, S, mask=batch.edge_mask, **_seg_kw(batch)))
         h = jnp.concatenate(aggs, axis=-1)
 
         # degree scalers with train-set log-degree statistics
         ones = batch.edge_mask.astype(x.dtype)
-        deg = segment_sum(ones, r, S)
+        deg = segment_sum(ones, r, S, **_seg_kw(batch))
         if len(self.degrees):
             import numpy as np
             dvals = np.arange(len(self.degrees))

@@ -70,8 +70,9 @@ class SANAttention(nn.Module):
             score = score / (gamma + 1.0)
         score = score * batch.edge_mask[:, None]
         msg = v[si] * score[..., None]
-        wV = segment_sum(msg, ri, S)        # (S, H, Dh)
-        Z = segment_sum(score, ri, S)       # (S, H)
+        kw = dict(edge_block=batch.edge_block, max_nodes=batch.max_nodes)
+        wV = segment_sum(msg, ri, S, **kw)  # (S, H, Dh)
+        Z = segment_sum(score, ri, S, **kw)  # (S, H)
 
         if self.full_graph:
             q2 = proj("Q2")(x)

@@ -45,8 +45,46 @@ def _onehot(segment_ids: jax.Array, num_segments: int,
     return oh.astype(dtype)
 
 
+def blocked_segment_sum(data: jax.Array, segment_ids: jax.Array,
+                        edge_block: int, max_nodes: int,
+                        mask: Optional[jax.Array]) -> jax.Array:
+    """Per-graph block-diagonal segment-sum as a batched one-hot MXU matmul.
+
+    Requires the device-arena edge layout (GraphBatch.edge_block): edge slot
+    ``j`` belongs to graph ``j // edge_block`` and its segment id lies inside
+    that graph's node range ``[g*max_nodes, (g+1)*max_nodes)``. The global
+    (E, S) one-hot then factors into B independent (edge_block, max_nodes)
+    blocks, so the cost is B·Ecap·Nmax·d MXU FLOPs instead of a global
+    scatter. Measured on v5e (PCQM-shape, bs256): the sorted-scatter path
+    costs ~0.45 ms per segment op and SERIALIZES inside lax.scan (no async
+    overlap in while loops — 15 scatters ≈ 14 ms/step); this matmul runs in
+    the noise. f32-exact (precision=HIGHEST), identical VJP class (two more
+    block matmuls, no scatter in the backward).
+    """
+    E = data.shape[0]
+    B = E // edge_block
+    flat = data.reshape(B, edge_block, -1)
+    local = segment_ids.reshape(B, edge_block) - (
+        jnp.arange(B, dtype=segment_ids.dtype)[:, None] * max_nodes)
+    io = jax.lax.broadcasted_iota(jnp.int32, (B, edge_block, max_nodes), 2)
+    oh = local[..., None] == io
+    if mask is not None:
+        oh = jnp.logical_and(oh, mask.reshape(B, edge_block)[..., None])
+    out = jnp.einsum("ben,bed->bnd", oh.astype(flat.dtype), flat,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape((B * max_nodes,) + data.shape[1:]).astype(data.dtype)
+
+
 def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int,
-                mask: Optional[jax.Array] = None) -> jax.Array:
+                mask: Optional[jax.Array] = None,
+                edge_block: Optional[int] = None,
+                max_nodes: Optional[int] = None) -> jax.Array:
+    if (edge_block and max_nodes and data.shape[0] % edge_block == 0
+            and num_segments == (data.shape[0] // edge_block) * max_nodes
+            and jnp.issubdtype(data.dtype, jnp.floating)):
+        return blocked_segment_sum(data, segment_ids, edge_block, max_nodes,
+                                   mask)
     if (data.shape[0] * num_segments <= _DENSE_LIMIT
             and jnp.issubdtype(data.dtype, jnp.floating)):
         oh = _onehot(segment_ids, num_segments, mask, data.dtype)
@@ -71,10 +109,14 @@ def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int,
 
 
 def segment_mean(data: jax.Array, segment_ids: jax.Array, num_segments: int,
-                 mask: Optional[jax.Array] = None, eps: float = 1e-6) -> jax.Array:
-    s = segment_sum(data, segment_ids, num_segments, mask)
+                 mask: Optional[jax.Array] = None, eps: float = 1e-6,
+                 edge_block: Optional[int] = None,
+                 max_nodes: Optional[int] = None) -> jax.Array:
+    s = segment_sum(data, segment_ids, num_segments, mask,
+                    edge_block=edge_block, max_nodes=max_nodes)
     ones = jnp.ones(data.shape[:1], dtype=data.dtype)
-    cnt = segment_sum(ones, segment_ids, num_segments, mask)
+    cnt = segment_sum(ones, segment_ids, num_segments, mask,
+                      edge_block=edge_block, max_nodes=max_nodes)
     return s / jnp.maximum(cnt, eps)[(...,) + (None,) * (s.ndim - 1)]
 
 
