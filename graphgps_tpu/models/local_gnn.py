@@ -15,8 +15,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..data.graph import GraphBatch
-from ..ops.segment import (segment_max, segment_mean, segment_min, segment_softmax,
-                           segment_sum)
+from ..ops.segment import (gather, segment_max, segment_mean, segment_min,
+                           segment_softmax, segment_sum)
 
 
 def _seg_kw(batch: GraphBatch) -> dict:
@@ -24,6 +24,13 @@ def _seg_kw(batch: GraphBatch) -> dict:
     device-assembled batches carry per-graph edge slots, turning segment sums
     into block-diagonal MXU matmuls instead of TPU scatters."""
     return dict(edge_block=batch.edge_block, max_nodes=batch.max_nodes)
+
+
+def _gx(batch: GraphBatch, x, idx):
+    """Neighbor-row fetch x[idx] through ops.segment.gather so the blocked
+    layout turns it (and its backward scatter-add) into block MXU matmuls."""
+    return gather(x, idx, edge_block=batch.edge_block,
+                  max_nodes=batch.max_nodes)
 from ..registry import register_layer
 from .common import MLP, Norm, get_act
 
@@ -34,7 +41,7 @@ def _es_pe_scale(batch: GraphBatch, mlp: nn.Module) -> Optional[jax.Array]:
     pe = batch.pe.get("pe_EquivStableLapPE")
     if pe is None:
         return None
-    diff = pe[batch.senders] - pe[batch.receivers]
+    diff = _gx(batch, pe, batch.senders) - _gx(batch, pe, batch.receivers)
     return mlp(jnp.sum(diff * diff, axis=-1, keepdims=True))
 
 
@@ -60,14 +67,14 @@ class GatedGCNLayer(nn.Module):
         Ex = nn.Dense(self.dim)(x)
 
         s, r = batch.senders, batch.receivers
-        e_gate = Dx[r] + Ex[s] + Ce                      # (E, d) pre-activation gate
+        e_gate = _gx(batch, Dx, r) + _gx(batch, Ex, s) + Ce                      # (E, d) pre-activation gate
         sigma = nn.sigmoid(e_gate)
         if self.equivstable_pe:
             rij = _es_pe_scale(batch, MLP(hidden_dim=self.dim, out_dim=1,
                                           num_layers=2, act="relu"))
             if rij is not None:
                 sigma = sigma * nn.sigmoid(rij)
-        msgs = sigma * Bx[s]
+        msgs = sigma * _gx(batch, Bx, s)
         num = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
         den = segment_sum(sigma, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
         x_new = Ax + num / (den + 1e-6)
@@ -104,7 +111,8 @@ class GINELayer(nn.Module):
         x_in = x
         eps = self.param("eps", nn.initializers.zeros, ())
         s, r = batch.senders, batch.receivers
-        m = nn.relu(x[s] + e) if e is not None else nn.relu(x[s])
+        xs = _gx(batch, x, s)
+        m = nn.relu(xs + e) if e is not None else nn.relu(xs)
         if self.equivstable_pe:
             rij = _es_pe_scale(batch, MLP(hidden_dim=self.dim, out_dim=1,
                                           num_layers=2, act="relu"))
@@ -131,7 +139,7 @@ class GINLayer(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, x, e, train: bool):
         eps = self.param("eps", nn.initializers.zeros, ())
-        agg = segment_sum(x[batch.senders], batch.receivers, batch.num_node_slots,
+        agg = segment_sum(_gx(batch, x, batch.senders), batch.receivers, batch.num_node_slots,
                           mask=batch.edge_mask, **_seg_kw(batch))
         h = MLP(hidden_dim=self.dim, out_dim=self.dim, num_layers=2,
                 act=self.act)((1.0 + eps) * x + agg)
@@ -151,7 +159,8 @@ class GCNLayer(nn.Module):
         ones = batch.edge_mask.astype(h.dtype)
         deg = segment_sum(ones, r, batch.num_node_slots, **_seg_kw(batch)) + 1.0  # +1 self loop
         dinv = jax.lax.rsqrt(deg)
-        msgs = (h[s] * dinv[s, None] * dinv[r, None])
+        msgs = (_gx(batch, h, s) * _gx(batch, dinv, s)[:, None]
+                * _gx(batch, dinv, r)[:, None])
         agg = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
         return agg + h * (dinv * dinv)[:, None], e
 
@@ -171,10 +180,11 @@ class GATLayer(nn.Module):
         h = nn.DenseGeneral((H, Dh))(x)                        # (S, H, Dh)
         a_src = self.param("a_src", nn.initializers.glorot_uniform(), (H, Dh))
         a_dst = self.param("a_dst", nn.initializers.glorot_uniform(), (H, Dh))
-        alpha = (h[s] * a_src).sum(-1) + (h[r] * a_dst).sum(-1)  # (E, H)
+        hs, hr = _gx(batch, h, s), _gx(batch, h, r)
+        alpha = (hs * a_src).sum(-1) + (hr * a_dst).sum(-1)  # (E, H)
         alpha = nn.leaky_relu(alpha, self.negative_slope)
         attn = segment_softmax(alpha, r, batch.num_node_slots, mask=batch.edge_mask)
-        msgs = h[s] * attn[..., None]
+        msgs = hs * attn[..., None]
         agg = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
         return agg.reshape(x.shape[0], H * Dh), e
 
@@ -191,7 +201,7 @@ class GENConvLayer(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, x, e, train: bool):
         s, r = batch.senders, batch.receivers
-        m = nn.relu(x[s] + e) + self.eps
+        m = nn.relu(_gx(batch, x, s) + e) + self.eps
         w = segment_softmax(self.beta * m, r, batch.num_node_slots,
                             mask=batch.edge_mask)
         agg = segment_sum(w * m, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
@@ -216,9 +226,11 @@ class PNALayer(nn.Module):
         s, r = batch.senders, batch.receivers
         S = batch.num_node_slots
         if self.use_edge_feat and e is not None:
-            m = nn.Dense(self.dim)(jnp.concatenate([x[s], x[r], e], axis=-1))
+            m = nn.Dense(self.dim)(jnp.concatenate(
+                [_gx(batch, x, s), _gx(batch, x, r), e], axis=-1))
         else:
-            m = nn.Dense(self.dim)(jnp.concatenate([x[s], x[r]], axis=-1))
+            m = nn.Dense(self.dim)(jnp.concatenate(
+                [_gx(batch, x, s), _gx(batch, x, r)], axis=-1))
 
         aggs = []
         mean = segment_mean(m, r, S, mask=batch.edge_mask, **_seg_kw(batch))

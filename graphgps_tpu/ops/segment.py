@@ -76,6 +76,35 @@ def blocked_segment_sum(data: jax.Array, segment_ids: jax.Array,
     return out.reshape((B * max_nodes,) + data.shape[1:]).astype(data.dtype)
 
 
+def blocked_gather(x: jax.Array, idx: jax.Array, edge_block: int,
+                   max_nodes: int) -> jax.Array:
+    """Per-graph block-diagonal row gather as a batched one-hot MXU matmul.
+
+    Exact (each output row is a one-hot inner product selecting a single
+    source row), and — the actual point — its VJP is the transpose block
+    matmul, i.e. a blocked segment-sum, NOT the scatter-add that the backward
+    of ``x[idx]`` lowers to. Same layout precondition as
+    ``blocked_segment_sum``: edge slot ``j`` belongs to graph
+    ``j // edge_block`` and ``idx[j]`` lies in that graph's node range
+    (device arenas point padded edge slots at a real node of the same graph,
+    data/device_loader.py, so no mask is needed for exactness).
+    """
+    E = idx.shape[0]
+    B = E // edge_block
+    xb = x.reshape(B, max_nodes, -1)
+    local = idx.reshape(B, edge_block) - (
+        jnp.arange(B, dtype=idx.dtype)[:, None] * max_nodes)
+    io = jax.lax.broadcasted_iota(jnp.int32, (B, edge_block, max_nodes), 2)
+    oh = (local[..., None] == io).astype(x.dtype)
+    out = jnp.einsum("ben,bnd->bed", oh, xb,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.reshape((E,) + x.shape[1:]).astype(x.dtype)
+
+
+_BLOCKED_GATHER = os.environ.get("GGPS_BLOCKED_GATHER", "1") == "1"
+
+
 def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int,
                 mask: Optional[jax.Array] = None,
                 edge_block: Optional[int] = None,
@@ -165,8 +194,20 @@ def segment_softmax(scores: jax.Array, segment_ids: jax.Array, num_segments: int
     return ex / (denom[segment_ids] + 1e-16)
 
 
-def gather(x: jax.Array, idx: jax.Array) -> jax.Array:
-    """Row gather x[idx] — the CSR neighbor-feature fetch."""
+def gather(x: jax.Array, idx: jax.Array,
+           edge_block: Optional[int] = None,
+           max_nodes: Optional[int] = None) -> jax.Array:
+    """Row gather x[idx] — the CSR neighbor-feature fetch.
+
+    With the device-arena blocked layout (edge_block/max_nodes) and float
+    data, dispatches to ``blocked_gather`` so both the gather and its
+    backward ride the MXU as block matmuls (no TPU scatter in the VJP).
+    """
+    if (_BLOCKED_GATHER and edge_block and max_nodes
+            and idx.shape[0] % edge_block == 0
+            and x.shape[0] == (idx.shape[0] // edge_block) * max_nodes
+            and jnp.issubdtype(x.dtype, jnp.floating)):
+        return blocked_gather(x, idx, edge_block, max_nodes)
     return jnp.take(x, idx, axis=0)
 
 
