@@ -75,8 +75,12 @@ class GatedGCNLayer(nn.Module):
             if rij is not None:
                 sigma = sigma * nn.sigmoid(rij)
         msgs = sigma * _gx(batch, Bx, s)
-        num = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
-        den = segment_sum(sigma, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
+        # one fused segment-sum for numerator and denominator: a single
+        # (E, 2d) block matmul instead of two (E, d) ones
+        nd = segment_sum(jnp.concatenate([msgs, sigma], axis=-1), r,
+                         batch.num_node_slots, mask=batch.edge_mask,
+                         **_seg_kw(batch))
+        num, den = nd[:, :self.dim], nd[:, self.dim:]
         x_new = Ax + num / (den + 1e-6)
 
         a = get_act(self.act)
@@ -232,8 +236,16 @@ class PNALayer(nn.Module):
             m = nn.Dense(self.dim)(jnp.concatenate(
                 [_gx(batch, x, s), _gx(batch, x, r)], axis=-1))
 
+        # fused sums: [m, m², 1] through ONE segment-sum (a single block
+        # matmul) covers mean, std and the degree count below
+        d = m.shape[-1]
+        ones = batch.edge_mask.astype(x.dtype)
+        packed = segment_sum(
+            jnp.concatenate([m, m * m, ones[:, None]], axis=-1), r, S,
+            mask=batch.edge_mask, **_seg_kw(batch))
+        cnt = jnp.maximum(packed[:, -1:], 1e-6)
+        mean = packed[:, :d] / cnt
         aggs = []
-        mean = segment_mean(m, r, S, mask=batch.edge_mask, **_seg_kw(batch))
         for name in self.aggregators:
             if name == "mean":
                 aggs.append(mean)
@@ -242,15 +254,14 @@ class PNALayer(nn.Module):
             elif name == "min":
                 aggs.append(segment_min(m, r, S, mask=batch.edge_mask))
             elif name == "std":
-                sq = segment_mean(m * m, r, S, mask=batch.edge_mask, **_seg_kw(batch))
+                sq = packed[:, d:2 * d] / cnt
                 aggs.append(jnp.sqrt(nn.relu(sq - mean * mean) + 1e-5))
             elif name == "sum":
-                aggs.append(segment_sum(m, r, S, mask=batch.edge_mask, **_seg_kw(batch)))
+                aggs.append(packed[:, :d])
         h = jnp.concatenate(aggs, axis=-1)
 
         # degree scalers with train-set log-degree statistics
-        ones = batch.edge_mask.astype(x.dtype)
-        deg = segment_sum(ones, r, S, **_seg_kw(batch))
+        deg = packed[:, -1]
         if len(self.degrees):
             import numpy as np
             dvals = np.arange(len(self.degrees))
