@@ -269,8 +269,14 @@ def bench_shape(make_cfg, windows=5, iters=300):
                nodes_per_sec=round(real_nodes / step_s, 1))
     if flops:
         out["flops_per_step"] = flops
-        out["mfu_vs_v5e_bf16_peak"] = round(
-            flops / step_s / V5E_PEAK_FLOPS, 4)
+        mfu = flops / step_s / V5E_PEAK_FLOPS
+        out["mfu_vs_v5e_bf16_peak"] = round(mfu, 4)
+        if mfu > 0.95:
+            # min-window under the time-sliced tunnel can land below the
+            # nominal roofline floor (cost-analysis flops vs executed bf16
+            # passes differ slightly); flag rather than fabricate
+            out["mfu_note"] = ("min-window at/above nominal roofline; "
+                               "treat as ~roofline-bound")
     return out
 
 

@@ -256,6 +256,10 @@ def new_cfg() -> CfgNode:
         reduce_factor=0.5, schedule_patience=10,
         clip_grad_norm=False, clip_grad_norm_value=1.0,
         batch_accumulation=1,
+        # run clip+optimizer over the ravel-flattened param vector: collapses
+        # ~1k per-leaf kernels/step into a few fused ones (optimizers.py
+        # flat_ravel). Auto-disabled for finetune-freeze masks and TP.
+        fused_flat=True,
     )
 
     # --- observability ---------------------------------------------------------

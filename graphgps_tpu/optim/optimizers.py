@@ -180,6 +180,33 @@ def build_optimizer(cfg) -> optax.GradientTransformation:
     return optimizer_dict[name](cfg.optim.base_lr, cfg)
 
 
+def flat_ravel(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Run a gradient transformation over the ravel-flattened param vector.
+
+    GraphGPS-size models have ~150 parameter leaves; per-leaf optimizer
+    arithmetic costs ~1,000 tiny TPU kernels per step (profiled: the flagship
+    scan step is op-count bound at ~1 us/kernel, not FLOP bound). Raveling
+    grads/params to ONE vector turns clip+Adam into a handful of fused
+    kernels and collapses the moment buffers carried through lax.scan from
+    ~300 leaves to two. Numerics: identical update math; the global-norm
+    reduction changes float association (per-leaf partial sums → one sum),
+    parity-tested to 1e-6.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return tx.init(flat)
+
+    def update(updates, state, params=None):
+        g_flat, unravel = ravel_pytree(updates)
+        p_flat = ravel_pytree(params)[0] if params is not None else None
+        u_flat, state = tx.update(g_flat, state, p_flat)
+        return unravel(u_flat), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_tx(cfg, trainable_mask=None) -> optax.GradientTransformation:
     """Full gradient transform: [clip] → [freeze body] → optimizer(injected lr).
 
@@ -210,7 +237,15 @@ def make_tx(cfg, trainable_mask=None) -> optax.GradientTransformation:
         opt = optax.multi_transform(
             {"train": opt, "freeze": optax.set_to_zero()}, labels)
     parts.append(opt)
-    return optax.chain(*parts) if len(parts) > 1 else parts[0]
+    tx = optax.chain(*parts) if len(parts) > 1 else parts[0]
+    # fused flat optimizer (see flat_ravel). Off when finetune-freezing
+    # (leaf-level masks) or tensor parallelism (opt_state must mirror the
+    # param-leaf shardings, parallel/tensor.py) is in play.
+    if (trainable_mask is None
+            and cfg.optim.get("fused_flat", True)
+            and cfg.parallel.get("model_axis", 1) == 1):
+        tx = flat_ravel(tx)
+    return tx
 
 
 def set_lr(opt_state, lr: float):

@@ -86,6 +86,14 @@ def shard_params_tp(state, mesh: Mesh):
     params = jax.tree_util.tree_map(jax.device_put, state.params, p_sh)
     rep = NamedSharding(mesh, P())
     o_sh = opt_state_shardings(state.opt_state, state.params, p_sh, mesh)
+    if not any(s is p_sh for s in jax.tree_util.tree_leaves(
+            o_sh, is_leaf=lambda x: x is p_sh)):
+        import logging
+        logging.getLogger("graphgps_tpu").warning(
+            "shard_params_tp: opt_state has no param-shaped moment subtree — "
+            "optimizer memory will be REPLICATED. If cfg.optim.fused_flat "
+            "raveled the moments, set cfg.parallel.model_axis before make_tx "
+            "(make_tx auto-disables fused_flat under TP).")
     opt_state = jax.tree_util.tree_map(jax.device_put, state.opt_state, o_sh)
 
     from ..train.loop import TrainState

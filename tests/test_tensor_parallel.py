@@ -24,6 +24,9 @@ def _mesh_2x4():
 
 def _setup():
     cfg = new_cfg()
+    # declare TP so make_tx keeps per-leaf opt_state (fused_flat would ravel
+    # the adam moments into one vector, which TP cannot shard param-wise)
+    cfg.parallel.model_axis = 4
     cfg.dataset.synth_num_graphs = 16
     cfg.dataset.synth_max_nodes = 12
     cfg.train.batch_size = 8

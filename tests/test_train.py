@@ -118,3 +118,48 @@ def test_eval_metrics_written(tmp_path):
     hist = run_single(cfg, str(tmp_path / "run"))
     assert "mae" in hist["val"][-1]
     assert "spearmanr" in hist["val"][-1]
+
+
+def test_flat_ravel_tx_parity():
+    """flat_ravel(clip→adamW) produces the same params trajectory as the
+    per-leaf chain (float-association tolerance on the global-norm clip)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from graphgps_tpu.config.config import new_cfg
+    from graphgps_tpu.optim.optimizers import make_tx
+
+    cfg = new_cfg()
+    cfg.optim.optimizer = "adamW"
+    cfg.optim.weight_decay = 1e-4
+    cfg.optim.clip_grad_norm = True
+    cfg.optim.clip_grad_norm_value = 0.5
+
+    rng = np.random.default_rng(0)
+    params = {"a": {"w": jnp.array(rng.normal(size=(4, 3)), jnp.float32),
+                    "b": jnp.zeros((3,), jnp.float32)},
+              "c": jnp.array(rng.normal(size=(5,)), jnp.float32)}
+
+    cfg.optim.fused_flat = True
+    tx_f = make_tx(cfg)
+    cfg.optim.fused_flat = False
+    tx_l = make_tx(cfg)
+
+    sf, sl = tx_f.init(params), tx_l.init(params)
+    pf = pl = params
+    for i in range(5):
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.array(rng.normal(size=p.shape), jnp.float32), pf)
+        uf, sf = tx_f.update(grads, sf, pf)
+        ul, sl = tx_l.update(grads, sl, pl)
+        pf = optax.apply_updates(pf, uf)
+        pl = optax.apply_updates(pl, ul)
+    for f, l in zip(jax.tree_util.tree_leaves(pf),
+                    jax.tree_util.tree_leaves(pl)):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(l),
+                                   rtol=1e-6, atol=1e-7)
+    # set_lr must still find the injected hyperparam through the flat wrapper
+    from graphgps_tpu.optim.optimizers import set_lr
+    sf = set_lr(sf, 0.123)
