@@ -352,9 +352,14 @@ def main():
         flush(extra)
     zinc = extra.get("zinc_bs32", {})
     if "edges_per_sec" not in zinc:  # headline must exist: in-process fallback
+        # keep the fallback SHORT (one window) — overrunning the caller's
+        # timeout kills the process mid-claim and wedges the chip
         from graphgps_tpu.utils import enable_compile_cache
         enable_compile_cache()
-        zinc = bench_shape(_zinc_cfg)
+        try:
+            zinc = bench_shape(_zinc_cfg, windows=1, iters=60)
+        except Exception as e:
+            zinc = {"error": str(e), "edges_per_sec": 0.0}
         extra["zinc_bs32"] = zinc
         flush(extra)
 

@@ -67,14 +67,17 @@ class GatedGCNLayer(nn.Module):
         Ex = nn.Dense(self.dim)(x)
 
         s, r = batch.senders, batch.receivers
-        e_gate = _gx(batch, Dx, r) + _gx(batch, Ex, s) + Ce                      # (E, d) pre-activation gate
+        # one fused sender gather for Ex and Bx (single (E, 2d) block matmul,
+        # mirroring the num/den segment-sum fusion below)
+        eb = _gx(batch, jnp.concatenate([Ex, Bx], axis=-1), s)
+        e_gate = _gx(batch, Dx, r) + eb[:, :self.dim] + Ce   # (E, d) gate
         sigma = nn.sigmoid(e_gate)
         if self.equivstable_pe:
             rij = _es_pe_scale(batch, MLP(hidden_dim=self.dim, out_dim=1,
                                           num_layers=2, act="relu"))
             if rij is not None:
                 sigma = sigma * nn.sigmoid(rij)
-        msgs = sigma * _gx(batch, Bx, s)
+        msgs = sigma * eb[:, self.dim:]
         # one fused segment-sum for numerator and denominator: a single
         # (E, 2d) block matmul instead of two (E, d) ones
         nd = segment_sum(jnp.concatenate([msgs, sigma], axis=-1), r,
@@ -163,8 +166,10 @@ class GCNLayer(nn.Module):
         ones = batch.edge_mask.astype(h.dtype)
         deg = segment_sum(ones, r, batch.num_node_slots, **_seg_kw(batch)) + 1.0  # +1 self loop
         dinv = jax.lax.rsqrt(deg)
-        msgs = (_gx(batch, h, s) * _gx(batch, dinv, s)[:, None]
-                * _gx(batch, dinv, r)[:, None])
+        # dinv is a function of the constant edge mask only — no gradient
+        # flows through it, so plain 1-D takes are strictly cheaper than
+        # blocked gathers here (no backward scatter exists to eliminate)
+        msgs = _gx(batch, h, s) * dinv[s, None] * dinv[r, None]
         agg = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
         return agg + h * (dinv * dinv)[:, None], e
 

@@ -45,6 +45,21 @@ def _onehot(segment_ids: jax.Array, num_segments: int,
     return oh.astype(dtype)
 
 
+def _block_onehot(ids: jax.Array, edge_block: int, max_nodes: int,
+                  mask: Optional[jax.Array], dtype) -> jax.Array:
+    """(B, edge_block, max_nodes) one-hot of graph-LOCAL ids for the blocked
+    per-graph edge layout; masked lanes all-zero. Shared by
+    blocked_segment_sum and blocked_gather."""
+    B = ids.shape[0] // edge_block
+    local = ids.reshape(B, edge_block) - (
+        jnp.arange(B, dtype=ids.dtype)[:, None] * max_nodes)
+    io = jax.lax.broadcasted_iota(jnp.int32, (B, edge_block, max_nodes), 2)
+    oh = local[..., None] == io
+    if mask is not None:
+        oh = jnp.logical_and(oh, mask.reshape(B, edge_block)[..., None])
+    return oh.astype(dtype)
+
+
 def blocked_segment_sum(data: jax.Array, segment_ids: jax.Array,
                         edge_block: int, max_nodes: int,
                         mask: Optional[jax.Array]) -> jax.Array:
@@ -64,13 +79,8 @@ def blocked_segment_sum(data: jax.Array, segment_ids: jax.Array,
     E = data.shape[0]
     B = E // edge_block
     flat = data.reshape(B, edge_block, -1)
-    local = segment_ids.reshape(B, edge_block) - (
-        jnp.arange(B, dtype=segment_ids.dtype)[:, None] * max_nodes)
-    io = jax.lax.broadcasted_iota(jnp.int32, (B, edge_block, max_nodes), 2)
-    oh = local[..., None] == io
-    if mask is not None:
-        oh = jnp.logical_and(oh, mask.reshape(B, edge_block)[..., None])
-    out = jnp.einsum("ben,bed->bnd", oh.astype(flat.dtype), flat,
+    oh = _block_onehot(segment_ids, edge_block, max_nodes, mask, flat.dtype)
+    out = jnp.einsum("ben,bed->bnd", oh, flat,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
     return out.reshape((B * max_nodes,) + data.shape[1:]).astype(data.dtype)
@@ -92,10 +102,7 @@ def blocked_gather(x: jax.Array, idx: jax.Array, edge_block: int,
     E = idx.shape[0]
     B = E // edge_block
     xb = x.reshape(B, max_nodes, -1)
-    local = idx.reshape(B, edge_block) - (
-        jnp.arange(B, dtype=idx.dtype)[:, None] * max_nodes)
-    io = jax.lax.broadcasted_iota(jnp.int32, (B, edge_block, max_nodes), 2)
-    oh = (local[..., None] == io).astype(x.dtype)
+    oh = _block_onehot(idx, edge_block, max_nodes, None, x.dtype)
     out = jnp.einsum("ben,bnd->bed", oh, xb,
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)

@@ -240,10 +240,12 @@ def make_tx(cfg, trainable_mask=None) -> optax.GradientTransformation:
     tx = optax.chain(*parts) if len(parts) > 1 else parts[0]
     # fused flat optimizer (see flat_ravel). Off when finetune-freezing
     # (leaf-level masks) or tensor parallelism (opt_state must mirror the
-    # param-leaf shardings, parallel/tensor.py) is in play.
-    if (trainable_mask is None
-            and cfg.optim.get("fused_flat", True)
-            and cfg.parallel.get("model_axis", 1) == 1):
+    # param-leaf shardings, parallel/tensor.py) is in play. TP can be
+    # declared via model_axis OR mesh_shape=[data, model] (mesh.py make_mesh).
+    mesh_shape = list(cfg.parallel.get("mesh_shape", []) or [])
+    tp = (cfg.parallel.get("model_axis", 1) or 1) > 1 or (
+        len(mesh_shape) == 2 and mesh_shape[1] > 1)
+    if trainable_mask is None and cfg.optim.get("fused_flat", True) and not tp:
         tx = flat_ravel(tx)
     return tx
 

@@ -335,8 +335,16 @@ def load_ckpt(run_dir: str, state: TrainState,
             "opt_state": jax.device_get(state.opt_state),
             "epoch": 0, "scheduler": {},
         }
-        restored = ckptr.restore(os.path.abspath(os.path.join(d, str(target))),
-                                 item=template)
+        try:
+            restored = ckptr.restore(
+                os.path.abspath(os.path.join(d, str(target))), item=template)
+        except Exception as e:
+            raise RuntimeError(
+                f"checkpoint restore failed for {d}/{target}: {e}\n"
+                "If this run's checkpoints predate the fused flat optimizer "
+                "(optim.fused_flat, round 2) the opt_state layout changed — "
+                "resume with 'optim.fused_flat False' (or delete the ckpt "
+                "dir to restart).") from e
     new_state = TrainState(params=restored["params"],
                            batch_stats=restored["batch_stats"],
                            opt_state=restored["opt_state"],
