@@ -65,10 +65,16 @@ class MaskedBatchNorm(nn.Module):
                 mean = xf.mean(axis=0)
                 var = xf.var(axis=0)
             else:
+                # single-pass moments: one masked reduction over [x, x²]
+                # instead of two SEQUENTIAL ones (the two-pass var needs mean
+                # first, serializing op-count-bound steps); E[x²]−mean² in
+                # f32 is well-conditioned for normalized activations
                 m = mask.astype(jnp.float32)[:, None]
                 cnt = jnp.maximum(m.sum(), 1.0)
-                mean = (xf * m).sum(axis=0) / cnt
-                var = (((xf - mean) ** 2) * m).sum(axis=0) / cnt
+                mom = (jnp.concatenate([xf, xf * xf], axis=-1) * m
+                       ).sum(axis=0) / cnt
+                mean, ex2 = mom[:d], mom[d:]
+                var = jnp.maximum(ex2 - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var

@@ -204,7 +204,26 @@ def flat_ravel(tx: optax.GradientTransformation) -> optax.GradientTransformation
         u_flat, state = tx.update(g_flat, state, p_flat)
         return unravel(u_flat), state
 
+    # marker read by train/loop.py to pick the flat update/carry fast paths —
+    # detecting from the tx itself can never disagree with the tx actually
+    # passed (a cfg-derived predicate can, e.g. a freeze-masked tx)
+    update._ggps_flat = True
     return optax.GradientTransformation(init, update)
+
+
+def is_flat_tx(tx: optax.GradientTransformation) -> bool:
+    """True iff ``tx`` was wrapped by flat_ravel (accepts raveled vectors)."""
+    return getattr(tx.update, "_ggps_flat", False)
+
+
+def fused_flat_active(cfg, trainable_mask=None) -> bool:
+    """True when make_tx wraps the chain in flat_ravel (see there): no
+    finetune freeze mask, fused_flat not disabled, no tensor parallelism."""
+    mesh_shape = list(cfg.parallel.get("mesh_shape", []) or [])
+    tp = (cfg.parallel.get("model_axis", 1) or 1) > 1 or (
+        len(mesh_shape) == 2 and mesh_shape[1] > 1)
+    return (trainable_mask is None and bool(cfg.optim.get("fused_flat", True))
+            and not tp)
 
 
 def make_tx(cfg, trainable_mask=None) -> optax.GradientTransformation:
@@ -242,10 +261,7 @@ def make_tx(cfg, trainable_mask=None) -> optax.GradientTransformation:
     # (leaf-level masks) or tensor parallelism (opt_state must mirror the
     # param-leaf shardings, parallel/tensor.py) is in play. TP can be
     # declared via model_axis OR mesh_shape=[data, model] (mesh.py make_mesh).
-    mesh_shape = list(cfg.parallel.get("mesh_shape", []) or [])
-    tp = (cfg.parallel.get("model_axis", 1) or 1) > 1 or (
-        len(mesh_shape) == 2 and mesh_shape[1] > 1)
-    if trainable_mask is None and cfg.optim.get("fused_flat", True) and not tp:
+    if fused_flat_active(cfg, trainable_mask):
         tx = flat_ravel(tx)
     return tx
 

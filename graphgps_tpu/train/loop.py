@@ -34,8 +34,8 @@ from ..data.graph import GraphBatch
 from ..logging_utils import SplitLogger, create_loggers
 from ..models.losses import compute_loss
 from ..models.networks import build_model
-from ..optim.optimizers import (ReduceLROnPlateau, build_schedule, make_tx,
-                                set_lr)
+from ..optim.optimizers import (ReduceLROnPlateau, build_schedule, is_flat_tx,
+                                make_tx, set_lr)
 from ..registry import register_train
 
 log = logging.getLogger("graphgps_tpu")
@@ -72,11 +72,31 @@ def _loss_mask(cfg, batch: GraphBatch, pred: jax.Array) -> jax.Array:
     return jnp.ones((pred.shape[0],), dtype=bool)
 
 
-def _build_raw_steps(cfg, model, tx):
-    """Un-jitted step functions (shared by make_steps and make_fused_steps)."""
+def _build_raw_steps(cfg, model, tx, flat: Optional[bool] = None):
+    """Un-jitted step functions (shared by make_steps and make_fused_steps).
+
+    ``flat`` (defaults to whether ``tx`` is flat_ravel-wrapped, detected via
+    is_flat_tx): apply the parameter update in the raveled domain — one flat
+    add + one unravel instead of ~150 per-leaf update slices + ~150 per-leaf
+    adds. Bitwise-identical values, fewer kernels on op-count-bound steps."""
+    from jax.flatten_util import ravel_pytree
+
     from .precision import apply_policy
 
+    if flat is None:
+        flat = is_flat_tx(tx)
     mp = bool(cfg.get("mixed_precision", False))
+
+    def tx_apply(grads, opt_state, params):
+        """updates+apply; in flat mode both ride the raveled vector (tx is
+        flat_ravel-wrapped: a bare array passes through it unchanged)."""
+        if not flat:
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+        g_flat, _ = ravel_pytree(grads)
+        p_flat, unravel = ravel_pytree(params)
+        u_flat, opt_state = tx.update(g_flat, opt_state, p_flat)
+        return unravel(optax.apply_updates(p_flat, u_flat)), opt_state
 
     def forward_loss(params, batch_stats, batch, rng, step):
         # bf16 policy: master params stay f32 outside; compute runs bf16.
@@ -98,8 +118,7 @@ def _build_raw_steps(cfg, model, tx):
         (loss, (bs, pred, true)), grads = jax.value_and_grad(
             forward_loss, has_aux=True)(state.params, state.batch_stats, batch,
                                         rng, jnp.asarray(state.step))
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state = tx_apply(grads, state.opt_state, state.params)
         new_state = TrainState(params=params, batch_stats=bs,
                                opt_state=opt_state, step=state.step + 1)
         return new_state, loss, pred, true, _loss_mask(cfg, batch, pred)
@@ -117,8 +136,7 @@ def _build_raw_steps(cfg, model, tx):
 
     def apply_step(state: TrainState, grad_accum, bs, k: int):
         grads = jax.tree_util.tree_map(lambda g: g / k, grad_accum)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state = tx_apply(grads, state.opt_state, state.params)
         return TrainState(params=params, batch_stats=bs, opt_state=opt_state,
                           step=state.step + 1)
 
@@ -135,9 +153,9 @@ def _build_raw_steps(cfg, model, tx):
                 eval=eval_step)
 
 
-def make_steps(cfg, model, tx):
+def make_steps(cfg, model, tx, flat: Optional[bool] = None):
     """Build jitted (train_step, grad_step, apply_step, eval_step)."""
-    raw = _build_raw_steps(cfg, model, tx)
+    raw = _build_raw_steps(cfg, model, tx, flat)
     donate = (0,) if cfg.parallel.donate else ()
     return (jax.jit(raw["train"], donate_argnums=donate),
             jax.jit(raw["grad"],
@@ -146,7 +164,7 @@ def make_steps(cfg, model, tx):
             jax.jit(raw["eval"]))
 
 
-def scan_steps_core(cfg, model, tx, loader):
+def scan_steps_core(cfg, model, tx, loader, flat_carry: Optional[bool] = None):
     """Unjitted K-steps-per-dispatch scan body (see make_scan_steps).
 
     Exposed separately so train/multiseed.py can ``jax.vmap`` it over a
@@ -155,37 +173,105 @@ def scan_steps_core(cfg, model, tx, loader):
     The arena pytree is a runtime ARGUMENT, never a closure capture: a
     closed-over device array becomes an HLO constant, and at PCQM4Mv2-full
     scale that embeds the whole multi-GB split into the compile payload
-    (observed: remote-compile HTTP 413 at 1M graphs)."""
+    (observed: remote-compile HTTP 413 at 1M graphs).
+
+    ``flat_carry`` (defaults to whether the fused flat optimizer is active):
+    carry params and batch_stats through the scan as ONE raveled vector each
+    instead of ~150+~60 leaves. The step is op-count bound (~1 µs/kernel);
+    per-leaf carries cost a while-loop copy, a filler-batch select, and an
+    update add EACH per step, where the flat carry pays one of each. The
+    gradient is taken w.r.t. the flat vector directly (the transpose of
+    unravel is exactly the ravel the fused optimizer needs), so the per-leaf
+    update unravel + apply_updates disappear too. Bitwise-identical math:
+    same leaf order, same flat adds."""
     from ..data.device_loader import assemble_impl
 
-    raw = _build_raw_steps(cfg, model, tx)["train"]
+    if flat_carry is None:
+        flat_carry = is_flat_tx(tx)
+    raw = _build_raw_steps(cfg, model, tx, flat_carry)["train"]
     Nmax, B = loader.max_nodes, loader.batch_size
 
+    if not flat_carry:
+        def k_steps(tree, state: TrainState, sels: jax.Array, rng):
+            # sels: (K, B) int32 graph indices (−1 = padded slot)
+            def body(st, inp):
+                sel, i = inp
+                batch = assemble_impl(tree, sel, Nmax, B)
+                st2, loss, pred, true, mask = raw(
+                    st, batch, jax.random.fold_in(rng, i))
+                # the trailing group may contain ALL-padding filler batches:
+                # they must not move params (adamW decays even on zero
+                # grads), advance the step, or pollute BatchNorm running
+                # stats — keep the old state for them (their log rows are
+                # dropped host-side too)
+                real = (sel >= 0).any()
+                st_out = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(real, a, b), st2, st)
+                return st_out, (loss, pred, true, mask)
+
+            K = sels.shape[0]
+            state, (losses, preds, trues, masks) = jax.lax.scan(
+                body, state, (sels, jnp.arange(K)))
+            return state, losses, preds, trues, masks
+
+        return k_steps
+
+    from jax.flatten_util import ravel_pytree
+
+    from .precision import apply_policy
+
+    mp = bool(cfg.get("mixed_precision", False))
+
     def k_steps(tree, state: TrainState, sels: jax.Array, rng):
-        # sels: (K, B) int32 graph indices (−1 = padded slot)
-        def body(st, inp):
+        p_flat0, unravel_p = ravel_pytree(state.params)
+        bs_flat0, unravel_bs = ravel_pytree(state.batch_stats)
+
+        def fwd(p_flat, bs_flat, batch, rng_i, step):
+            params_c, batch_c = apply_policy(unravel_p(p_flat), batch, mp)
+            variables = {"params": params_c,
+                         "batch_stats": unravel_bs(bs_flat)}
+            (pred, true), mut = model.apply(
+                variables, batch_c, True, step,
+                rngs={"dropout": rng_i,
+                      "signflip": jax.random.fold_in(rng_i, 1)},
+                mutable=["batch_stats"])
+            pred = pred.astype(jnp.float32)
+            mask = _loss_mask(cfg, batch, pred)
+            loss = compute_loss(cfg, pred, true, mask)
+            bs2 = ravel_pytree(mut.get("batch_stats", FrozenDict()))[0]
+            return loss, (bs2, pred, true, mask)
+
+        def body(carry, inp):
+            p_flat, bs_flat, opt_state, step = carry
             sel, i = inp
             batch = assemble_impl(tree, sel, Nmax, B)
-            st2, loss, pred, true, mask = raw(
-                st, batch, jax.random.fold_in(rng, i))
-            # the trailing group may contain ALL-padding filler batches: they
-            # must not move params (adamW decays even on zero grads), advance
-            # the step, or pollute BatchNorm running stats — keep the old
-            # state for them (their log rows are dropped host-side too)
+            (loss, (bs2, pred, true, mask)), g_flat = jax.value_and_grad(
+                fwd, has_aux=True)(p_flat, bs_flat, batch,
+                                   jax.random.fold_in(rng, i), step)
+            u_flat, opt2 = tx.update(g_flat, opt_state, p_flat)
+            p2 = optax.apply_updates(p_flat, u_flat)
+            # filler-batch guard (see the tree path above) — one select per
+            # flat buffer instead of one per leaf
             real = (sel >= 0).any()
-            st_out = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(real, a, b), st2, st)
-            return st_out, (loss, pred, true, mask)
+            p2 = jnp.where(real, p2, p_flat)
+            bs2 = jnp.where(real, bs2, bs_flat)
+            opt2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(real, a, b), opt2, opt_state)
+            step2 = jnp.where(real, step + 1, step)
+            return (p2, bs2, opt2, step2), (loss, pred, true, mask)
 
         K = sels.shape[0]
-        state, (losses, preds, trues, masks) = jax.lax.scan(
-            body, state, (sels, jnp.arange(K)))
+        carry0 = (p_flat0, bs_flat0, state.opt_state, jnp.asarray(state.step))
+        (pf, bsf, opt, stp), (losses, preds, trues, masks) = jax.lax.scan(
+            body, carry0, (sels, jnp.arange(K)))
+        state = TrainState(params=unravel_p(pf), batch_stats=unravel_bs(bsf),
+                           opt_state=opt, step=stp)
         return state, losses, preds, trues, masks
 
     return k_steps
 
 
-def make_scan_steps(cfg, model, tx, loader):
+def make_scan_steps(cfg, model, tx, loader, flat_carry: Optional[bool] = None):
     """K training steps per dispatch: ``lax.scan`` over device-assembled
     batches inside ONE jitted call (requires a DeviceLoader).
 
@@ -196,7 +282,7 @@ def make_scan_steps(cfg, model, tx, loader):
     come back stacked for the logger.
     """
     donate = (1,) if cfg.parallel.donate else ()
-    jitted = jax.jit(scan_steps_core(cfg, model, tx, loader),
+    jitted = jax.jit(scan_steps_core(cfg, model, tx, loader, flat_carry),
                      donate_argnums=donate)
     tree = loader.arenas_tree
     return lambda state, sels, rng: jitted(tree, state, sels, rng)

@@ -97,3 +97,59 @@ def test_phantom_batches_do_not_touch_state():
     for a, b in zip(jax.tree_util.tree_leaves(stats_a),
                     jax.tree_util.tree_leaves(s_b.batch_stats)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flat_carry_matches_tree_carry():
+    """The raveled-carry scan (default with the fused flat optimizer) must be
+    numerically identical to the per-leaf-carry scan: same leaf order, same
+    flat update adds, same BN stat math. Different carry layouts are
+    different XLA programs, so fusion (e.g. fma contraction in the BN EMA)
+    may differ by an ulp — assert tight allclose, not bitwise."""
+    import jax
+    import jax.numpy as jnp
+
+    import graphgps_tpu.data.datasets  # noqa: F401
+    import graphgps_tpu.train.loop as L
+    from graphgps_tpu.config.config import new_cfg
+    from graphgps_tpu.data.datasets.base import load_dataset
+    from graphgps_tpu.data.device_loader import DeviceLoader
+    from graphgps_tpu.models.networks import build_model
+    from graphgps_tpu.optim.optimizers import make_tx
+
+    cfg = new_cfg()
+    cfg.dataset.synth_num_graphs = 24
+    cfg.dataset.synth_max_nodes = 12
+    cfg.gt.layers = 2
+    cfg.gt.dim_hidden = 16
+    cfg.gt.n_heads = 2
+    cfg.gnn.dim_inner = 16
+    cfg.train.batch_size = 4
+    cfg.train.steps_per_dispatch = 4
+    cfg.optim.clip_grad_norm = True
+    cfg.parallel.donate = False          # reuse `state` across both calls
+    ds = load_dataset(cfg)
+    loader = DeviceLoader(ds.train, batch_size=4)
+    model = build_model(cfg, 1)
+    tx = make_tx(cfg)
+    _, gb0 = next(iter(loader))
+    state = L.init_state(cfg, model, gb0, 0, tx)
+
+    multi_flat = L.make_scan_steps(cfg, model, tx, loader, flat_carry=True)
+    multi_tree = L.make_scan_steps(cfg, model, tx, loader, flat_carry=False)
+
+    key = jax.random.PRNGKey(3)
+    sels = jnp.asarray(np.arange(16).reshape(4, 4).astype(np.int32))
+    s_f, loss_f, *_ = multi_flat(state, sels, key)
+    s_t, loss_t, *_ = multi_tree(state, sels, key)
+
+    np.testing.assert_allclose(np.asarray(loss_f), np.asarray(loss_t),
+                               rtol=2e-6, atol=1e-8)
+    assert int(np.asarray(s_f.step)) == int(np.asarray(s_t.step)) == 4
+    for a, b in zip(jax.tree_util.tree_leaves(s_f.params),
+                    jax.tree_util.tree_leaves(s_t.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=1e-8)
+    for a, b in zip(jax.tree_util.tree_leaves(s_f.batch_stats),
+                    jax.tree_util.tree_leaves(s_t.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=1e-8)
