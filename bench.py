@@ -333,7 +333,9 @@ def main():
     extra = {}
     stages = [
         ("zinc_bs32", "bench.bench_shape(bench._zinc_cfg)"),
-        ("zinc_bs32_scan8", "bench.bench_zinc_scan(K=8)"),
+        # K sweep measured 2026-08-18 (flat carry): K=8 1.090 ms, K=16 1.054,
+        # K=32 0.992 — dispatch amortization asymptote ~0.95 ms/step
+        ("zinc_bs32_scan32", "bench.bench_zinc_scan(K=32)"),
         ("zinc_bs32_scan8_seeds4", "bench.bench_zinc_multiseed(S=4, K=8)"),
         ("voc512_bs8",
          "bench.bench_shape(bench._voc512_cfg, windows=4, iters=100)"),
@@ -367,7 +369,7 @@ def main():
     # configuration (steps_per_dispatch is a user-facing knob of the custom
     # train loop; the scanned path runs full fwd+bwd+optimizer steps)
     best = zinc["edges_per_sec"]
-    scan = extra.get("zinc_bs32_scan8", {})
+    scan = extra.get("zinc_bs32_scan32", {})
     if isinstance(scan.get("edges_per_sec"), (int, float)):
         best = max(best, scan["edges_per_sec"])
     baseline = 1.0e5  # A100 reference estimate; derivation in module docstring

@@ -183,6 +183,9 @@ def new_cfg() -> CfgNode:
     cfg.train = _node(
         mode="custom", batch_size=32, eval_period=1,
         ckpt_period=100, enable_ckpt=True, ckpt_best=False, ckpt_clean=True,
+        # orbax AsyncCheckpointer: serialization+IO overlap training; the
+        # loop waits the previous write out before each new save/clean/read
+        ckpt_async=True,
         auto_resume=False, epoch_resume=-1, finetune="",
         sampler="full_batch",
         log_attn_weights=False,   # harvest per-layer attention (analysis mode)

@@ -385,21 +385,55 @@ def ckpt_dir(run_dir: str) -> str:
     return os.path.join(run_dir, "ckpt")
 
 
+# Shared orbax AsyncCheckpointer: serialization + fsync run on a background
+# thread so the train loop resumes immediately after the (fast) D2H fetch.
+# One global instance — orbax requires waiting out the in-flight save before
+# issuing the next, which wait_for_ckpts() does at every touch point.
+_ASYNC_CKPTR = None
+
+
+def _async_ckptr():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_ckpts() -> None:
+    """Block until any in-flight async checkpoint save has committed."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_ckpt(run_dir: str, state: TrainState, epoch: int,
-              scheduler_state: Optional[dict] = None) -> None:
+              scheduler_state: Optional[dict] = None,
+              async_save: bool = False) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir(run_dir), str(epoch)))
+    tree = {
+        # device_get is synchronous ON PURPOSE: the train step donates state
+        # buffers, so handing live device arrays to a background writer would
+        # race the next step's donation. The host fetch is the cheap part;
+        # the async win is overlapping serialization + disk IO with compute.
+        "params": jax.device_get(state.params),
+        "batch_stats": dict(jax.device_get(state.batch_stats)),
+        "opt_state": jax.device_get(state.opt_state),
+        "epoch": epoch,
+        "scheduler": scheduler_state or {},
+    }
+    if async_save:
+        ckptr = _async_ckptr()
+        ckptr.wait_until_finished()      # previous save must commit first
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        ckptr.save(path, tree)
+        return
     if os.path.exists(path):
         shutil.rmtree(path)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, {
-            "params": jax.device_get(state.params),
-            "batch_stats": dict(jax.device_get(state.batch_stats)),
-            "opt_state": jax.device_get(state.opt_state),
-            "epoch": epoch,
-            "scheduler": scheduler_state or {},
-        })
+        ckptr.save(path, tree)
 
 
 def load_ckpt(run_dir: str, state: TrainState,
@@ -407,6 +441,7 @@ def load_ckpt(run_dir: str, state: TrainState,
     """Restore latest (or given) epoch; returns (state, next_epoch, sched_state)."""
     import orbax.checkpoint as ocp
 
+    wait_for_ckpts()                      # async saves must land before read
     d = ckpt_dir(run_dir)
     if not os.path.isdir(d):
         return state, 0, {}
@@ -414,16 +449,20 @@ def load_ckpt(run_dir: str, state: TrainState,
     if not epochs:
         return state, 0, {}
     target = epoch if epoch >= 0 and epoch in epochs else epochs[-1]
+    path = os.path.abspath(os.path.join(d, str(target)))
     with ocp.PyTreeCheckpointer() as ckptr:
+        # the template pins the opt_state container structure (optax
+        # NamedTuples) and array dtypes; the scheduler dict's keys depend on
+        # the scheduler that SAVED the ckpt (plateau: lr/best/num_bad), so it
+        # is excluded here (partial_restore) and read back raw below
         template = {
             "params": jax.device_get(state.params),
             "batch_stats": dict(jax.device_get(state.batch_stats)),
             "opt_state": jax.device_get(state.opt_state),
-            "epoch": 0, "scheduler": {},
+            "epoch": 0,
         }
         try:
-            restored = ckptr.restore(
-                os.path.abspath(os.path.join(d, str(target))), item=template)
+            restored = ckptr.restore(path, item=template, partial_restore=True)
         except Exception as e:
             raise RuntimeError(
                 f"checkpoint restore failed for {d}/{target}: {e}\n"
@@ -431,19 +470,29 @@ def load_ckpt(run_dir: str, state: TrainState,
                 "(optim.fused_flat, round 2) the opt_state layout changed — "
                 "resume with 'optim.fused_flat False' (or delete the ckpt "
                 "dir to restart).") from e
+        try:
+            sched = dict(ckptr.restore(path).get("scheduler") or {})
+        except Exception:
+            sched = {}
     new_state = TrainState(params=restored["params"],
                            batch_stats=restored["batch_stats"],
                            opt_state=restored["opt_state"],
                            step=state.step)
-    return new_state, restored["epoch"] + 1, restored.get("scheduler", {})
+    return new_state, restored["epoch"] + 1, sched
 
 
-def clean_ckpt(run_dir: str, keep_epoch: int) -> None:
+def clean_ckpt(run_dir: str, keep_epoch, wait: bool = True) -> None:
+    """Delete all checkpoint epochs except ``keep_epoch`` (an int or a
+    collection of ints). ``wait=False`` skips the async-write barrier — only
+    safe when every kept epoch includes the one currently being written."""
+    if wait:
+        wait_for_ckpts()                  # never rmtree under an async write
+    keep = {keep_epoch} if isinstance(keep_epoch, int) else set(keep_epoch)
     d = ckpt_dir(run_dir)
     if not os.path.isdir(d):
         return
     for x in os.listdir(d):
-        if x.isdigit() and int(x) != keep_epoch:
+        if x.isdigit() and int(x) not in keep:
             shutil.rmtree(os.path.join(d, x), ignore_errors=True)
 
 
@@ -657,6 +706,7 @@ def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
     rng = jax.random.PRNGKey(cfg.seed + 1234)
     best_val = None
     best_epoch = -1
+    prev_best_ckpt = None   # last best-epoch ckpt whose write has committed
     history: Dict[str, List[Dict]] = {s: [] for s in loaders}
     full_epoch_times = []
     profiled = False
@@ -705,10 +755,24 @@ def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
                 best_val = cur
                 best_epoch = epoch
                 if cfg.train.enable_ckpt and cfg.train.ckpt_best:
+                    # save_ckpt waits out the previous async write, so after
+                    # it returns the PREVIOUS best is committed and this
+                    # epoch's write is in flight. Keep both (the committed
+                    # one is the crash fallback until this write lands) and
+                    # prune older dirs without blocking on the new write.
                     save_ckpt(run_dir, state, epoch,
-                              schedule.state_dict() if plateau else None)
+                              schedule.state_dict() if plateau else None,
+                              async_save=cfg.train.get("ckpt_async", True))
                     if cfg.train.ckpt_clean:
-                        clean_ckpt(run_dir, epoch)
+                        if prev_best_ckpt is None:
+                            # first save of the run: older dirs (e.g. the
+                            # resume source) may be pruned only after this
+                            # write commits — pay the one-time wait
+                            clean_ckpt(run_dir, epoch)
+                        else:
+                            clean_ckpt(run_dir, {epoch, prev_best_ckpt},
+                                       wait=False)
+                    prev_best_ckpt = epoch
             eta = (np.mean(full_epoch_times[1:] or full_epoch_times)
                    * (cfg.optim.max_epoch - epoch - 1))
             log.info("epoch %d lr %.2e %s %s=%.5f (best %.5f @ %d) "
@@ -718,7 +782,12 @@ def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
         if cfg.train.enable_ckpt and not cfg.train.ckpt_best \
                 and is_ckpt_epoch(cfg, epoch):
             save_ckpt(run_dir, state, epoch,
-                      schedule.state_dict() if plateau else None)
+                      schedule.state_dict() if plateau else None,
+                      async_save=cfg.train.get("ckpt_async", True))
+    wait_for_ckpts()                      # commit the tail save before return
+    if (cfg.train.enable_ckpt and cfg.train.ckpt_best and cfg.train.ckpt_clean
+            and prev_best_ckpt is not None):
+        clean_ckpt(run_dir, prev_best_ckpt)   # drop the crash-fallback dir
     log.info("avg epoch time: %.2fs; best %s %s=%.5f @ epoch %d",
              float(np.mean(full_epoch_times)) if full_epoch_times else 0.0,
              "val", metric, best_val if best_val is not None else float("nan"),

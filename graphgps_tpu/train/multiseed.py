@@ -262,7 +262,9 @@ def run_multiseed(cfg, run_ids: List[int], seeds: List[int]) -> bool:
                     best_epoch[si] = epoch
                     if cfg.train.enable_ckpt and cfg.train.ckpt_best:
                         save_ckpt(run_dirs[si], _slice_state(state, si),
-                                  epoch, None)
+                                  epoch, None,
+                                  async_save=cfg.train.get("ckpt_async",
+                                                           True))
             log.info("epoch %d lr %.2e val %s=%.5f ±%.5f over %d seeds "
                      "(best %s) epoch_time %.2fs", epoch, lr, metric,
                      float(np.mean(curs)), float(np.std(curs)), S,
@@ -271,8 +273,11 @@ def run_multiseed(cfg, run_ids: List[int], seeds: List[int]) -> bool:
         if cfg.train.enable_ckpt and not cfg.train.ckpt_best \
                 and is_ckpt_epoch(cfg, epoch):
             for si in range(S):
-                save_ckpt(run_dirs[si], _slice_state(state, si), epoch, None)
+                save_ckpt(run_dirs[si], _slice_state(state, si), epoch, None,
+                          async_save=cfg.train.get("ckpt_async", True))
 
+    from .loop import wait_for_ckpts
+    wait_for_ckpts()
     log.info("parallel seeds done: avg epoch %.2fs (all %d seeds per "
              "dispatch); best val %s per seed: %s",
              float(np.mean(epoch_times)) if epoch_times else 0.0, S, metric,
