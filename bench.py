@@ -332,10 +332,13 @@ def main():
 
     extra = {}
     stages = [
-        ("zinc_bs32", "bench.bench_shape(bench._zinc_cfg)"),
+        # the HEADLINE stage runs first: the driver invokes bench.py with a
+        # tight time budget, and later stages are skippable — the flagship
+        # production number must never be the one that gets cut.
         # K sweep measured 2026-08-18 (flat carry): K=8 1.090 ms, K=16 1.054,
         # K=32 0.992 — dispatch amortization asymptote ~0.95 ms/step
         ("zinc_bs32_scan32", "bench.bench_zinc_scan(K=32)"),
+        ("zinc_bs32", "bench.bench_shape(bench._zinc_cfg)"),
         ("zinc_bs32_scan8_seeds4", "bench.bench_zinc_multiseed(S=4, K=8)"),
         ("voc512_bs8",
          "bench.bench_shape(bench._voc512_cfg, windows=4, iters=100)"),
@@ -353,9 +356,11 @@ def main():
         print(f"[bench] {name}: {extra[name]}", file=sys.stderr)
         flush(extra)
     zinc = extra.get("zinc_bs32", {})
-    if "edges_per_sec" not in zinc:  # headline must exist: in-process fallback
-        # keep the fallback SHORT (one window) — overrunning the caller's
-        # timeout kills the process mid-claim and wedges the chip
+    scan = extra.get("zinc_bs32_scan32", {})
+    if "edges_per_sec" not in zinc and "edges_per_sec" not in scan:
+        # headline must exist: in-process fallback, kept SHORT (one window) —
+        # overrunning the caller's timeout kills the process mid-claim and
+        # wedges the chip
         from graphgps_tpu.utils import enable_compile_cache
         enable_compile_cache()
         try:
@@ -368,8 +373,7 @@ def main():
     # headline: the flagship recipe at its best supported production
     # configuration (steps_per_dispatch is a user-facing knob of the custom
     # train loop; the scanned path runs full fwd+bwd+optimizer steps)
-    best = zinc["edges_per_sec"]
-    scan = extra.get("zinc_bs32_scan32", {})
+    best = zinc.get("edges_per_sec", 0.0)
     if isinstance(scan.get("edges_per_sec"), (int, float)):
         best = max(best, scan["edges_per_sec"])
     baseline = 1.0e5  # A100 reference estimate; derivation in module docstring

@@ -65,16 +65,21 @@ class MaskedBatchNorm(nn.Module):
                 mean = xf.mean(axis=0)
                 var = xf.var(axis=0)
             else:
-                # single-pass moments: one masked reduction over [x, x²]
+                # single-pass moments: one masked reduction over [x−c, (x−c)²]
                 # instead of two SEQUENTIAL ones (the two-pass var needs mean
-                # first, serializing op-count-bound steps); E[x²]−mean² in
-                # f32 is well-conditioned for normalized activations
+                # first, serializing op-count-bound steps). The shift by
+                # c = running mean keeps E[y²]−E[y]² well-conditioned even
+                # when |mean| ≫ std (raw E[x²]−mean² cancels catastrophically
+                # there); c tracks the batch mean, so y is near-centered.
+                c = jax.lax.stop_gradient(ra_mean.value)
+                y = xf - c
                 m = mask.astype(jnp.float32)[:, None]
                 cnt = jnp.maximum(m.sum(), 1.0)
-                mom = (jnp.concatenate([xf, xf * xf], axis=-1) * m
+                mom = (jnp.concatenate([y, y * y], axis=-1) * m
                        ).sum(axis=0) / cnt
-                mean, ex2 = mom[:d], mom[d:]
-                var = jnp.maximum(ex2 - mean * mean, 0.0)
+                ey, ey2 = mom[:d], mom[d:]
+                mean = ey + c
+                var = jnp.maximum(ey2 - ey * ey, 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var

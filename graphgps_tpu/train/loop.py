@@ -16,6 +16,7 @@ best-so-far reporting) and 'inference-only'. TPU-native differences:
 from __future__ import annotations
 
 import dataclasses
+import json
 import logging
 import os
 import shutil
@@ -150,7 +151,7 @@ def _build_raw_steps(cfg, model, tx, flat: Optional[bool] = None):
         return loss, pred, true, mask
 
     return dict(train=train_step, grad=grad_step, apply=apply_step,
-                eval=eval_step)
+                eval=eval_step, forward=forward_loss)
 
 
 def make_steps(cfg, model, tx, flat: Optional[bool] = None):
@@ -188,10 +189,11 @@ def scan_steps_core(cfg, model, tx, loader, flat_carry: Optional[bool] = None):
 
     if flat_carry is None:
         flat_carry = is_flat_tx(tx)
-    raw = _build_raw_steps(cfg, model, tx, flat_carry)["train"]
+    raw_steps = _build_raw_steps(cfg, model, tx, flat_carry)
     Nmax, B = loader.max_nodes, loader.batch_size
 
     if not flat_carry:
+        raw = raw_steps["train"]
         def k_steps(tree, state: TrainState, sels: jax.Array, rng):
             # sels: (K, B) int32 graph indices (−1 = padded slot)
             def body(st, inp):
@@ -218,28 +220,18 @@ def scan_steps_core(cfg, model, tx, loader, flat_carry: Optional[bool] = None):
 
     from jax.flatten_util import ravel_pytree
 
-    from .precision import apply_policy
-
-    mp = bool(cfg.get("mixed_precision", False))
+    forward_loss = raw_steps["forward"]   # the ONE forward (shared with the
+    # tree path and eager steps — any rng/loss/policy change applies to both)
 
     def k_steps(tree, state: TrainState, sels: jax.Array, rng):
         p_flat0, unravel_p = ravel_pytree(state.params)
         bs_flat0, unravel_bs = ravel_pytree(state.batch_stats)
 
         def fwd(p_flat, bs_flat, batch, rng_i, step):
-            params_c, batch_c = apply_policy(unravel_p(p_flat), batch, mp)
-            variables = {"params": params_c,
-                         "batch_stats": unravel_bs(bs_flat)}
-            (pred, true), mut = model.apply(
-                variables, batch_c, True, step,
-                rngs={"dropout": rng_i,
-                      "signflip": jax.random.fold_in(rng_i, 1)},
-                mutable=["batch_stats"])
-            pred = pred.astype(jnp.float32)
-            mask = _loss_mask(cfg, batch, pred)
-            loss = compute_loss(cfg, pred, true, mask)
-            bs2 = ravel_pytree(mut.get("batch_stats", FrozenDict()))[0]
-            return loss, (bs2, pred, true, mask)
+            loss, (bs_tree, pred, true) = forward_loss(
+                unravel_p(p_flat), unravel_bs(bs_flat), batch, rng_i, step)
+            bs2 = ravel_pytree(bs_tree)[0]
+            return loss, (bs2, pred, true, _loss_mask(cfg, batch, pred))
 
         def body(carry, inp):
             p_flat, bs_flat, opt_state, step = carry
@@ -423,6 +415,12 @@ def save_ckpt(run_dir: str, state: TrainState, epoch: int,
         "epoch": epoch,
         "scheduler": scheduler_state or {},
     }
+    # scheduler state also goes to a tiny JSON sidecar: its keys depend on
+    # the scheduler (plateau: lr/best/num_bad), so a fixed restore template
+    # can't name them — the sidecar spares load_ckpt a second full restore
+    os.makedirs(ckpt_dir(run_dir), exist_ok=True)
+    with open(path + ".sched.json", "w") as f:
+        json.dump(scheduler_state or {}, f)
     if async_save:
         ckptr = _async_ckptr()
         ckptr.wait_until_finished()      # previous save must commit first
@@ -470,10 +468,19 @@ def load_ckpt(run_dir: str, state: TrainState,
                 "(optim.fused_flat, round 2) the opt_state layout changed — "
                 "resume with 'optim.fused_flat False' (or delete the ckpt "
                 "dir to restart).") from e
-        try:
-            sched = dict(ckptr.restore(path).get("scheduler") or {})
-        except Exception:
-            sched = {}
+        side = path + ".sched.json"
+        if os.path.exists(side):
+            with open(side) as f:
+                sched = json.load(f)
+        else:
+            # legacy checkpoint without a sidecar: fish the scheduler dict
+            # out of a raw restore (reads the full tree — resume-time only)
+            try:
+                sched = dict(ckptr.restore(path).get("scheduler") or {})
+            except Exception as e:
+                log.warning("could not read scheduler state from %s (%s) — "
+                            "resuming with a fresh scheduler", path, e)
+                sched = {}
     new_state = TrainState(params=restored["params"],
                            batch_stats=restored["batch_stats"],
                            opt_state=restored["opt_state"],
@@ -492,8 +499,19 @@ def clean_ckpt(run_dir: str, keep_epoch, wait: bool = True) -> None:
     if not os.path.isdir(d):
         return
     for x in os.listdir(d):
-        if x.isdigit() and int(x) not in keep:
-            shutil.rmtree(os.path.join(d, x), ignore_errors=True)
+        # "<epoch>", "<epoch>.sched.json", and stale
+        # "<epoch>.orbax-checkpoint-tmp-<ts>" dirs left by a crashed async
+        # save all key off the leading epoch number
+        head = x.split(".", 1)[0]
+        if head.isdigit() and int(head) not in keep:
+            p = os.path.join(d, x)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
 
 # ---------------------------------------------------------------------------------

@@ -261,6 +261,10 @@ def run_multiseed(cfg, run_ids: List[int], seeds: List[int]) -> bool:
                     best_val[si] = cur
                     best_epoch[si] = epoch
                     if cfg.train.enable_ckpt and cfg.train.ckpt_best:
+                        # per-seed saves share one AsyncCheckpointer, so S
+                        # same-epoch saves serialize against each other and
+                        # only the last overlaps training — acceptable at
+                        # multiseed's small-recipe scale
                         save_ckpt(run_dirs[si], _slice_state(state, si),
                                   epoch, None,
                                   async_save=cfg.train.get("ckpt_async",

@@ -5,9 +5,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def run(mode, E=None, S=None, D=128, iters=200, windows=4):
-    E = int(sys.argv[2]) if len(sys.argv) > 2 else 65536
-    S = int(sys.argv[3]) if len(sys.argv) > 3 else 32768
+def run(mode, E=65536, S=32768, D=128, iters=200, windows=4):
     import jax, jax.numpy as jnp
     rng = np.random.default_rng(0)
     rec = np.sort(rng.integers(0, S, E)).astype(np.int32)
@@ -43,4 +41,6 @@ def run(mode, E=None, S=None, D=128, iters=200, windows=4):
     print(mode, round(min(ws) * 1e3, 4), "ms")
 
 if __name__ == "__main__":
-    run(sys.argv[1])
+    run(sys.argv[1],
+        E=int(sys.argv[2]) if len(sys.argv) > 2 else 65536,
+        S=int(sys.argv[3]) if len(sys.argv) > 3 else 32768)
