@@ -273,7 +273,9 @@ def new_cfg() -> CfgNode:
     cfg.parallel = _node(
         data_axis=1,                  # devices on the data axis (0/1 = auto)
         model_axis=1,                 # tensor-parallel width of FFN/attention
-        edge_partition=False,         # edge-partitioned CSR mode
+        edge_partition=False,         # shard local-GNN aggregations over the
+                                      # 'model' mesh axis (ops/segment.py →
+                                      # parallel/edge_partition.py)
         mesh_shape=[],                # explicit [data, model]; [] = auto
         remat=False,                  # jax.checkpoint over GPS layers
         scan_layers=False,            # nn.scan over GPS layers (1 trace per

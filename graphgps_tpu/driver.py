@@ -226,6 +226,13 @@ def main(argv=None) -> None:
         mesh = make_mesh(cfg)
         set_current_mesh(mesh)  # ambient mesh for ring attention etc.
         log.info("mesh: %s", mesh)
+        if cfg.parallel.get("edge_partition", False):
+            # route every local-GNN aggregation through the edge-partitioned
+            # shard_map rung over the 'model' axis (ops/segment.py dispatch)
+            from .ops.segment import set_edge_partition
+            set_edge_partition(True)
+            log.info("edge partitioning: segment ops sharded over 'model' "
+                     "axis (%d-way)", mesh.shape.get("model", 1))
 
     run_ids, seeds, split_indices = run_loop_settings(cfg, args.repeat)
     handled = False

@@ -111,11 +111,44 @@ def blocked_gather(x: jax.Array, idx: jax.Array, edge_block: int,
 
 _BLOCKED_GATHER = os.environ.get("GGPS_BLOCKED_GATHER", "1") == "1"
 
+# cfg.parallel.edge_partition routes every local-GNN aggregation through the
+# edge-partitioned shard_map rung (edges sharded over the mesh 'model' axis,
+# partial aggregates psum'd over ICI) — the config entry point to the
+# partitioning ladder in parallel/edge_partition.py. Set by driver.main from
+# the cfg; module state because segment_sum is called from deep inside layer
+# code that has no cfg in scope.
+_EDGE_PARTITION_AXIS: Optional[str] = None
+
+
+def set_edge_partition(on: bool, axis: str = "model") -> None:
+    global _EDGE_PARTITION_AXIS
+    _EDGE_PARTITION_AXIS = axis if on else None
+
+
+def _edge_partition_mesh(num_edges: int):
+    """The (mesh, axis) to edge-partition over, or None when off/inapplicable
+    (no ambient mesh, axis width 1, or edge count not divisible)."""
+    if _EDGE_PARTITION_AXIS is None:
+        return None
+    from ..parallel.mesh import current_mesh
+    mesh = current_mesh()
+    ax = _EDGE_PARTITION_AXIS
+    if mesh is None or mesh.shape.get(ax, 1) < 2 or num_edges % mesh.shape[ax]:
+        return None
+    return mesh, ax
+
 
 def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int,
                 mask: Optional[jax.Array] = None,
                 edge_block: Optional[int] = None,
                 max_nodes: Optional[int] = None) -> jax.Array:
+    ep = _edge_partition_mesh(data.shape[0])
+    if ep is not None and jnp.issubdtype(data.dtype, jnp.floating):
+        from ..parallel.edge_partition import edge_partitioned_segment_sum
+        mesh, ax = ep
+        return edge_partitioned_segment_sum(
+            data.reshape(data.shape[0], -1), segment_ids, num_segments, mesh,
+            mask=mask, axis=ax).reshape((num_segments,) + data.shape[1:])
     if (edge_block and max_nodes and data.shape[0] % edge_block == 0
             and num_segments == (data.shape[0] // edge_block) * max_nodes
             and jnp.issubdtype(data.dtype, jnp.floating)):

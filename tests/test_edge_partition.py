@@ -178,3 +178,59 @@ def test_aggregate_under_jit_with_sharded_nodes(rng):
                               num_segments=Vp) * 2.0
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Config entry point: cfg.parallel.edge_partition routes ops.segment.segment_sum
+# through the partitioned rung (driver.py sets set_edge_partition)
+# ---------------------------------------------------------------------------
+
+def test_config_knob_routes_model_training(rng):
+    """With the knob on and a model-axis mesh ambient, a full GINE+Transformer
+    train step matches the unpartitioned step (same batch, same rng)."""
+    import graphgps_tpu.data.datasets  # noqa: F401
+    import graphgps_tpu.train.loop as L
+    from graphgps_tpu.config.config import new_cfg
+    from graphgps_tpu.data.batching import BatchLoader
+    from graphgps_tpu.data.datasets.base import load_dataset
+    from graphgps_tpu.models.networks import build_model
+    from graphgps_tpu.optim.optimizers import make_tx
+    from graphgps_tpu.ops.segment import set_edge_partition
+    from graphgps_tpu.parallel.mesh import set_current_mesh
+
+    cfg = new_cfg()
+    cfg.dataset.synth_num_graphs = 16
+    cfg.dataset.synth_max_nodes = 12
+    cfg.gt.layers = 1
+    cfg.gt.dim_hidden = 16
+    cfg.gt.n_heads = 2
+    cfg.gnn.dim_inner = 16
+    cfg.train.batch_size = 8
+    cfg.parallel.donate = False       # state reused across both step calls
+    ds = load_dataset(cfg)
+    loader = BatchLoader(ds.train, batch_size=8, shuffle=False,
+                         y_graph_level=True)
+    gb = next(iter(loader)).to_graph_batch()
+    model = build_model(cfg, 1)
+    tx = make_tx(cfg)
+    state = L.init_state(cfg, model, gb, 0, tx)
+    step = L.make_steps(cfg, model, tx)[0]
+    key = jax.random.PRNGKey(0)
+
+    s_ref, loss_ref, *_ = step(state, gb, key)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "model"))
+    set_current_mesh(mesh)
+    set_edge_partition(True)
+    try:
+        step_ep = L.make_steps(cfg, model, tx)[0]
+        s_ep, loss_ep, *_ = step_ep(state, gb, key)
+    finally:
+        set_edge_partition(False)
+        set_current_mesh(None)
+
+    np.testing.assert_allclose(float(loss_ep), float(loss_ref), rtol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ep.params),
+                    jax.tree_util.tree_leaves(s_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
