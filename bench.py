@@ -133,7 +133,7 @@ def bench_scan(make_cfg, K=8, windows=5, groups=40):
     n = loader.arenas.num_graphs_total
     rng = np.random.default_rng(0)
     sel = jnp.asarray(rng.integers(0, n, size=(K, B)).astype(np.int32))
-    key = jax.random.PRNGKey(0)
+    key = L.run_key(cfg, 0)
     state, losses, *_ = multi(state, sel, key)  # compile
     jax.block_until_ready(losses)
     # edges per step from a representative sample of the arena
@@ -192,7 +192,8 @@ def bench_zinc_multiseed(S=4, K=8, windows=4, groups=20):
     n = loader.arenas.num_graphs_total
     rng = np.random.default_rng(0)
     sel = jnp.asarray(rng.integers(0, n, size=(S, K, B)).astype(np.int32))
-    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(S))
+    base_key = L.run_key(cfg, 0)
+    keys = jax.vmap(lambda s: jax.random.fold_in(base_key, s))(jnp.arange(S))
     state, losses, *_ = multi(state, sel, keys)  # compile
     jax.block_until_ready(losses)
     e_cnt = np.asarray(loader.arenas.e_count)
@@ -239,7 +240,7 @@ def bench_shape(make_cfg, windows=5, iters=300):
     state = L.init_state(cfg, model, gb, 0, tx)
     raw_train = L._build_raw_steps(cfg, model, tx)["train"]
     jitted = jax.jit(raw_train, donate_argnums=(0,))
-    rng = jax.random.PRNGKey(0)
+    rng = L.run_key(cfg, 0)
 
     # lower/compile through the SAME jitted callable so the warmup call reuses
     # the executable (a separate jit here would compile every shape twice —

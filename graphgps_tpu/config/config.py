@@ -198,6 +198,14 @@ def new_cfg() -> CfgNode:
         # (train/multiseed.py) — small recipes train S seeds in ~1x wall time
         parallel_seeds=False,
         profiler=False,           # jax.profiler trace of one post-compile epoch
+        # PRNG implementation for the run's random streams (param init,
+        # dropout, sign flips). 'rbg' generates mask bits with the TPU
+        # hardware generator (XLA RngBitGenerator) while key derivation
+        # (split/fold_in) stays threefry — measured 1.65x faster flagship
+        # train steps than pure 'threefry', whose per-mask bit chains XLA
+        # rematerializes into the attention backward (docs/RESULTS.md).
+        # 'threefry' restores JAX's default bit-exact streams.
+        rng_impl="rbg",
     )
 
     # --- model -----------------------------------------------------------------

@@ -42,6 +42,27 @@ from ..registry import register_train
 log = logging.getLogger("graphgps_tpu")
 
 
+def run_key(cfg, seed: int) -> jax.Array:
+    """Typed PRNG key with the run's configured implementation.
+
+    ``cfg.train.rng_impl='rbg'`` (default) generates random bits with the
+    TPU hardware generator — the pure-threefry bit chains otherwise get
+    rematerialized into the attention backward as ~16 µs VPU fusions and
+    dominate dropout-heavy tiny-graph steps (docs/RESULTS.md). The impl
+    rides the key (jax typed keys), so downstream fold_in/split/make_rng
+    need no global configuration.
+
+    Caveat: rbg bit streams are not vmap-invariant — seed-parallel training
+    (train/multiseed.py) draws different (equally valid) dropout masks than
+    the same seeds run sequentially. Set ``train.rng_impl: threefry`` where
+    bitwise seed-parallel/sequential parity matters.
+    """
+    impl = cfg.train.get("rng_impl", "rbg") if cfg is not None else "rbg"
+    if impl == "threefry":  # accept the short spelling
+        impl = "threefry2x32"
+    return jax.random.key(seed, impl=impl)
+
+
 @dataclasses.dataclass
 class TrainState:
     params: Any
@@ -311,7 +332,7 @@ def make_fused_steps(cfg, model, tx, loader):
 
 def init_state(cfg, model, example_batch: GraphBatch, seed: int,
                tx) -> TrainState:
-    rng = jax.random.PRNGKey(seed)
+    rng = run_key(cfg, seed)
     variables = model.init({"params": rng, "dropout": rng, "signflip": rng},
                            example_batch, True)
     params = variables["params"]
@@ -721,7 +742,7 @@ def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
         if plateau and sched_state:
             schedule.load_state_dict(sched_state)
 
-    rng = jax.random.PRNGKey(cfg.seed + 1234)
+    rng = run_key(cfg, cfg.seed + 1234)
     best_val = None
     best_epoch = -1
     prev_best_ckpt = None   # last best-epoch ckpt whose write has committed

@@ -39,7 +39,7 @@ from ..optim.optimizers import ReduceLROnPlateau, build_schedule, make_tx
 from ..config.config import resolve_metric_best
 from .loop import (TrainState, _build_raw_steps, _metric_cmp,
                    _ranking_metrics, init_state, is_ckpt_epoch, is_eval_epoch,
-                   param_count, save_ckpt, scan_steps_core)
+                   param_count, run_key, save_ckpt, scan_steps_core)
 
 log = logging.getLogger("graphgps_tpu")
 
@@ -162,7 +162,7 @@ def run_multiseed(cfg, run_ids: List[int], seeds: List[int]) -> bool:
             l.params = n_params
         loggers.append(lg)
 
-    rngs = jnp.stack([jax.random.PRNGKey(s + 1234) for s in seeds])
+    rngs = jnp.stack([run_key(cfg, s + 1234) for s in seeds])
     B = train_loader.batch_size
     n = train_loader.arenas.num_graphs_total
     K = max(1, cfg.train.steps_per_dispatch)

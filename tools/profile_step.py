@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Capture a jax.profiler trace of one benchmark stage and print the
+per-kernel device-time breakdown, grouped by HLO source component, for
+op-count tuning.
+
+Usage: python tools/profile_step.py [stage] [K]
+  stage: zinc (default) | voc | pcqm
+  K:     steps_per_dispatch (default 32)
+
+One workload per process (docs/RESULTS.md dispatch-degradation note); run on
+an idle chip.
+"""
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _component(op_name: str) -> str:
+    """Collapse an HLO op_name path to a readable component bucket."""
+    if not op_name:
+        return "(unattributed)"
+    m = re.search(r"GPSLayer_\d+/([A-Za-z]+_\d+|[a-z_]+)", op_name)
+    tag = ""
+    if "transpose(jvp" in op_name:
+        tag = " [bwd]"
+    elif "jvp(" in op_name:
+        tag = " [fwd]"
+    if m:
+        part = m.group(1)
+        part = re.sub(r"_\d+$", "", part)
+        return f"GPSLayer/{part}{tag}"
+    for pat in ("FeatureEncoder", "GNNHead", "SANHead", "Norm",
+                "MaskedBatchNorm"):
+        if pat in op_name:
+            return pat + tag
+    # strip jit wrapper and take the most specific call-site name
+    core = op_name.split("/")[-1]
+    return core[:40] + tag
+
+
+def main():
+    stage = sys.argv[1] if len(sys.argv) > 1 else "zinc"
+    K = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import bench
+    import graphgps_tpu.data.datasets  # noqa: F401
+    import graphgps_tpu.train.loop as L
+    from graphgps_tpu.config.config import new_cfg
+    from graphgps_tpu.data.device_loader import DeviceLoader
+    from graphgps_tpu.data.datasets.base import load_dataset
+    from graphgps_tpu.models.networks import build_model
+    from graphgps_tpu.optim.optimizers import make_tx
+
+    make_cfg = {"zinc": bench._zinc_cfg, "voc": bench._voc512_cfg,
+                "pcqm": bench._pcqm256_cfg}[stage]
+    cfg, dim_out = make_cfg(new_cfg)
+    cfg.train.steps_per_dispatch = K
+    ds = load_dataset(cfg)
+    B = cfg.train.batch_size
+    loader = DeviceLoader(ds.train, batch_size=B,
+                          y_graph_level=cfg.dataset.task == "graph")
+    model = build_model(cfg, dim_out)
+    tx = make_tx(cfg)
+    _, gb = next(iter(loader))
+    state = L.init_state(cfg, model, gb, 0, tx)
+    jitted = jax.jit(L.scan_steps_core(cfg, model, tx, loader))
+    tree = loader.arenas_tree
+
+    n = loader.arenas.num_graphs_total
+    rng = np.random.default_rng(0)
+    sel = jnp.asarray(rng.integers(0, n, size=(K, B)).astype(np.int32))
+    key = L.run_key(cfg, 0)
+    state, losses, *_ = jitted(tree, state, sel, key)  # compile
+    jax.block_until_ready(losses)
+    # optimized HLO for instruction-name -> source-component attribution
+    hlo = jitted.lower(tree, state, sel, key).compile().as_text()
+    src_of = {}
+    for mm in re.finditer(
+            r"%?([\w.\-]+) = [^\n]*?op_name=\"([^\"]*)\"", hlo):
+        src_of[mm.group(1)] = mm.group(2)
+
+    for g in range(5):  # warm
+        state, losses, *_ = jitted(tree, state, sel, jax.random.fold_in(key, g))
+    jax.block_until_ready(losses)
+
+    prof_dir = f"/tmp/ggps_profile_{stage}_{K}"
+    os.system(f"rm -rf {prof_dir}")
+    with jax.profiler.trace(prof_dir):
+        for g in range(4):
+            state, losses, *_ = jitted(tree, state, sel,
+                                       jax.random.fold_in(key, 100 + g))
+        jax.block_until_ready(losses)
+
+    # ---- parse the trace: aggregate device-stream events ------------------
+    paths = glob.glob(f"{prof_dir}/**/*.trace.json.gz", recursive=True)
+    assert paths, f"no trace under {prof_dir}"
+    with gzip.open(paths[0], "rt") as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    proc = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            proc[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, nm in proc.items()
+                if "TPU" in nm or "/device" in nm.lower()}
+    agg = defaultdict(lambda: [0.0, 0])          # per HLO instruction
+    byc = defaultdict(lambda: [0.0, 0])          # per source component
+    total = 0.0
+    nsteps = 4 * K
+    for e in ev:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e["name"]
+        if name.startswith("jit_") or name.startswith("while"):
+            continue  # rollups
+        dur = float(e.get("dur", 0.0))
+        agg[name][0] += dur
+        agg[name][1] += 1
+        byc[_component(src_of.get(name, ""))][0] += dur
+        byc[_component(src_of.get(name, ""))][1] += 1
+        total += dur
+
+    print(f"\n=== {stage} K={K}: device events over {nsteps} steps ===")
+    nk = sum(c for _, c in agg.values())
+    print(f"total device time {total / 1e3 / nsteps:.4f} ms/step,"
+          f" {nk / nsteps:.0f} events/step")
+    print("\n-- by source component --")
+    print(f"{'us/step':>9} {'evts/step':>9}  component")
+    for comp, (dur, cnt) in sorted(byc.items(), key=lambda kv: -kv[1][0])[:30]:
+        print(f"{dur / nsteps:9.2f} {cnt / nsteps:9.1f}  {comp}")
+    print("\n-- top HLO instructions --")
+    print(f"{'us/step':>9} {'calls':>6} {'us/call':>8}  name | source")
+    rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
+    for name, (dur, cnt) in rows[:30]:
+        print(f"{dur / nsteps:9.2f} {cnt:6d} {dur / cnt:8.2f}  "
+              f"{name[:40]} | {src_of.get(name, '')[-70:]}")
+    print(json.dumps({"stage": stage, "K": K,
+                      "device_ms_per_step": round(total / 1e3 / nsteps, 4),
+                      "events_per_step": round(nk / nsteps, 1)}))
+
+
+if __name__ == "__main__":
+    main()
