@@ -31,6 +31,50 @@ def get_act(name: str) -> Callable:
     return act_dict[name]
 
 
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _mxu_take(num: int, emb: jax.Array, ids: jax.Array) -> jax.Array:
+    return jnp.take(emb, ids, axis=0)
+
+
+def _mxu_take_fwd(num, emb, ids):
+    return jnp.take(emb, ids, axis=0), ids
+
+
+def _mxu_take_bwd(num, ids, g):
+    # dE = onehot(ids)^T @ g — a dot_general whose contraction runs over the
+    # (large) row axis: MXU work instead of a TPU scatter-add. The profiled
+    # flagship step paid ~31 µs/step in the two TypeDict embedding-gradient
+    # scatters; this matmul class is ~2 µs.
+    oh = jax.nn.one_hot(ids.reshape(-1), num, dtype=g.dtype)
+    demb = oh.T @ g.reshape(-1, g.shape[-1])
+    return demb, None
+
+
+_mxu_take.defvjp(_mxu_take_fwd, _mxu_take_bwd)
+
+
+class Embed(nn.Embed):
+    """``nn.Embed`` whose gradient is a one-hot MXU matmul, not a scatter.
+
+    Forward is the standard gather (the one-hot *forward* measured slower at
+    GraphGPS vocab sizes); only the VJP changes — the same per-type f32 sum
+    up to summation order (parity-tested in tests/test_models.py).
+    Same class name as flax's, so module paths/param trees stay ``Embed_N``.
+    Falls back to the plain gather/scatter above ``mxu_max_types`` (one-hot
+    width stops paying at ogbg-code2's 5002-token vocabulary).
+    """
+
+    mxu_max_types: int = 256
+
+    def __call__(self, inputs: jax.Array) -> jax.Array:
+        if self.num_embeddings > self.mxu_max_types:
+            return super().__call__(inputs)
+        return _mxu_take(self.num_embeddings, self.embedding, inputs)
+
+
 class MaskedBatchNorm(nn.Module):
     """BatchNorm1d over masked rows with running statistics.
 

@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from ..data.graph import GraphBatch
 from ..registry import register_edge_encoder, register_node_encoder
-from .common import MLP, MaskedBatchNorm, get_act
+from .common import MLP, Embed, MaskedBatchNorm, get_act
 
 # OGB molecule feature cardinalities (ogb.utils.features get_atom/bond_feature_dims)
 ATOM_FEATURE_DIMS = [119, 5, 12, 12, 10, 6, 6, 2, 2]
@@ -36,7 +36,7 @@ class TypeDictNodeEncoder(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, x, train: bool):
         codes = batch.node_feat[:, 0].astype(jnp.int32)
-        return nn.Embed(self.num_types, self.dim_emb)(codes)
+        return Embed(self.num_types, self.dim_emb)(codes)
 
 
 @register_node_encoder("Atom")
@@ -51,7 +51,7 @@ class AtomEncoder(nn.Module):
         feats = batch.node_feat.astype(jnp.int32)
         out = 0.0
         for i, card in enumerate(ATOM_FEATURE_DIMS[:feats.shape[1]]):
-            out = out + nn.Embed(card, self.dim_emb)(jnp.clip(feats[:, i], 0, card - 1))
+            out = out + Embed(card, self.dim_emb)(jnp.clip(feats[:, i], 0, card - 1))
         return out
 
 
@@ -109,7 +109,7 @@ class TypeDictEdgeEncoder(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool):
         codes = batch.edge_feat[:, 0].astype(jnp.int32)
-        return nn.Embed(self.num_types, self.dim_emb)(codes)
+        return Embed(self.num_types, self.dim_emb)(codes)
 
 
 @register_edge_encoder("Bond")
@@ -121,7 +121,7 @@ class BondEncoder(nn.Module):
         feats = batch.edge_feat.astype(jnp.int32)
         out = 0.0
         for i, card in enumerate(BOND_FEATURE_DIMS[:feats.shape[1]]):
-            out = out + nn.Embed(card, self.dim_emb)(jnp.clip(feats[:, i], 0, card - 1))
+            out = out + Embed(card, self.dim_emb)(jnp.clip(feats[:, i], 0, card - 1))
         return out
 
 
@@ -170,11 +170,11 @@ class ASTNodeEncoder(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, x, train: bool):
         f = batch.node_feat.astype(jnp.int32)
-        t = nn.Embed(self.num_node_types, self.dim_emb)(
+        t = Embed(self.num_node_types, self.dim_emb)(
             jnp.clip(f[:, 0], 0, self.num_node_types - 1))
-        a = nn.Embed(self.num_node_attr, self.dim_emb)(
+        a = Embed(self.num_node_attr, self.dim_emb)(
             jnp.clip(f[:, 1], 0, self.num_node_attr - 1))
-        d = nn.Embed(self.max_depth + 1, self.dim_emb)(
+        d = Embed(self.max_depth + 1, self.dim_emb)(
             jnp.clip(f[:, 2], 0, self.max_depth))
         return t + a + d
 
@@ -189,8 +189,8 @@ class ASTEdgeEncoder(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool):
         f = batch.edge_feat.astype(jnp.int32)
-        t = nn.Embed(2, self.dim_emb)(jnp.clip(f[:, 0], 0, 1))
-        d = nn.Embed(2, self.dim_emb)(jnp.clip(f[:, 1], 0, 1))
+        t = Embed(2, self.dim_emb)(jnp.clip(f[:, 0], 0, 1))
+        d = Embed(2, self.dim_emb)(jnp.clip(f[:, 1], 0, 1))
         return t + d
 
 
@@ -417,7 +417,7 @@ class GraphormerBiasEncoder(nn.Module):
         init = nn.initializers.normal(0.02)
         if not self.node_degrees_only:
             spatial = batch.extras["spatial_types"].astype(jnp.int32)  # (B, N, N)
-            bias = nn.Embed(self.num_spatial_types + 2, self.num_heads,
+            bias = Embed(self.num_spatial_types + 2, self.num_heads,
                             embedding_init=init)(spatial)
             bias = bias.transpose(0, 3, 1, 2)                          # (B,H,N,N)
             spt = batch.extras.get("shortest_path_types")  # (B, N, N, D)
@@ -428,7 +428,7 @@ class GraphormerBiasEncoder(nn.Module):
                 # normalize by the clamped path length
                 H = self.num_heads
                 D = spt.shape[-1]
-                e_emb = nn.Embed(self.num_edge_types, H, embedding_init=init)(
+                e_emb = Embed(self.num_edge_types, H, embedding_init=init)(
                     jnp.clip(spt.astype(jnp.int32), 0,
                              self.num_edge_types - 1))
                 W = self.param("edge_dis_encoder", init, (D, H, H))
@@ -451,8 +451,8 @@ class GraphormerBiasEncoder(nn.Module):
         out_deg = jnp.clip(batch.pe["out_degrees"][:, 0].astype(jnp.int32), 0,
                            self.num_out_degrees - 1)
         d = x.shape[-1]
-        x = x + nn.Embed(self.num_in_degrees, d, embedding_init=init)(in_deg)
-        x = x + nn.Embed(self.num_out_degrees, d, embedding_init=init)(out_deg)
+        x = x + Embed(self.num_in_degrees, d, embedding_init=init)(in_deg)
+        x = x + Embed(self.num_out_degrees, d, embedding_init=init)(out_deg)
         if self.use_graph_token:
             tok = self.param("graph_token", init, (d,))
             batch.extras["graph_token_state"] = jnp.broadcast_to(

@@ -46,8 +46,10 @@ def chunked_mha(q: jax.Array, k: jax.Array, v: jax.Array,
     bc = (bias.reshape(B, H, N, C, chunk).transpose(3, 0, 1, 2, 4)
           if bias is not None else None)
 
-    keep_p = 1.0 - dropout_rate
     use_drop = dropout_rate > 0.0 and dropout_rng is not None
+    # quantized-u8 keep mask, same generator as the dense path (ops/mha.py)
+    keep_t = min(max(int(round(dropout_rate * 256)), 1), 255)
+    keep_p = 1.0 - keep_t / 256.0
 
     def body(carry, inp):
         m, l, acc = carry
@@ -66,8 +68,9 @@ def chunked_mha(q: jax.Array, k: jax.Array, v: jax.Array,
         l_new = l * corr + p.sum(-1, keepdims=True)
         if use_drop:
             # pure function of (rng, chunk idx) → remat replays identically
-            keep = jax.random.bernoulli(
-                jax.random.fold_in(dropout_rng, ci), keep_p, p.shape)
+            keep = jax.random.bits(
+                jax.random.fold_in(dropout_rng, ci), p.shape,
+                dtype=jnp.uint8) >= jnp.uint8(keep_t)
             p_v = jnp.where(keep, p / keep_p, 0.0)
         else:
             p_v = p

@@ -18,6 +18,20 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def keep_mask_u8(rng: jax.Array, rate: float, shape) -> tuple:
+    """Dropout keep-mask from uint8 random bits: (keep_bool, keep_prob).
+
+    A quarter of the RNG bandwidth of f32-uniform bernoulli (the per-layer
+    (B,H,N,N) attention masks showed up as ~2 µs copies in the flagship
+    profile). The rate is quantized to the 1/256 grid, and the inverted-
+    dropout rescale must use the RETURNED actual keep probability, so
+    E[mask / keep_prob] == 1 exactly despite the quantization.
+    """
+    t = min(max(int(round(rate * 256)), 1), 255)
+    bits = jax.random.bits(rng, shape, dtype=jnp.uint8)
+    return bits >= jnp.uint8(t), 1.0 - t / 256.0
+
+
 def mha_core(q: jax.Array, k: jax.Array, v: jax.Array,
              key_mask: jax.Array,
              bias: Optional[jax.Array] = None,
@@ -42,8 +56,8 @@ def mha_core(q: jax.Array, k: jax.Array, v: jax.Array,
     # rows whose query is padded produce garbage — harmless, masked downstream.
     attn_drop = attn
     if dropout_rate > 0.0 and dropout_rng is not None:
-        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, attn.shape)
-        attn_drop = jnp.where(keep, attn / (1.0 - dropout_rate), 0.0)
+        keep, keep_p = keep_mask_u8(dropout_rng, dropout_rate, attn.shape)
+        attn_drop = jnp.where(keep, attn / keep_p, 0.0)
     out = jnp.einsum("bhnm,bhmd->bhnd", attn_drop.astype(v.dtype), v,
                      preferred_element_type=jnp.float32).astype(v.dtype)
     if return_attn:

@@ -158,3 +158,30 @@ def test_padding_invariance():
     p2, _ = model.apply(v, gb_big, False, mutable=False)
     np.testing.assert_allclose(np.asarray(p1[0]), np.asarray(p2[0]), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_scatter_free_embed_grad_parity():
+    """models.common.Embed's matmul VJP == the plain gather/scatter gradient,
+    for 1-D and 2-D id tensors and for the big-vocab fallback path."""
+    from graphgps_tpu.models.common import Embed
+
+    rng = np.random.default_rng(0)
+    for num, shape in [(28, (96,)), (34, (4, 9, 9)), (5002, (64,))]:
+        emb0 = jnp.asarray(rng.normal(size=(num, 8)), jnp.float32)
+        ids = jnp.asarray(rng.integers(0, num, size=shape), jnp.int32)
+
+        def loss_custom(e):
+            m = Embed(num_embeddings=num, features=8)
+            out = m.apply({"params": {"embedding": e}}, ids)
+            return (out * out).sum(), out
+
+        def loss_plain(e):
+            out = jnp.take(e, ids, axis=0)
+            return (out * out).sum(), out
+
+        (l1, o1), g1 = jax.value_and_grad(loss_custom, has_aux=True)(emb0)
+        (l2, o2), g2 = jax.value_and_grad(loss_plain, has_aux=True)(emb0)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-5)
