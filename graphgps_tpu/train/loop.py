@@ -419,38 +419,97 @@ def wait_for_ckpts() -> None:
         _ASYNC_CKPTR.wait_until_finished()
 
 
+def _needs_sharded_io(state: "TrainState") -> bool:
+    """True when the state must be checkpointed shard-wise: any leaf is a
+    jax.Array that this process cannot fully address (multi-host) or that is
+    laid out across several devices (TP/FSDP-style param shards). Replicated
+    single-process state keeps the simple host-gather path."""
+    if jax.process_count() > 1:
+        return True
+    for leaf in jax.tree_util.tree_leaves(
+            (state.params, state.batch_stats, state.opt_state)):
+        if isinstance(leaf, jax.Array):
+            if not leaf.is_fully_addressable:
+                return True
+            try:
+                sh = leaf.sharding
+            except Exception:       # pragma: no cover - tracer leaves
+                continue
+            if len(sh.device_set) > 1 and not sh.is_fully_replicated:
+                return True
+    return False
+
+
+def _barrier(tag: str) -> None:
+    """Cross-process sync point; no-op single-process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(tag)
+
+
+def _snapshot_on_device(tree):
+    """Copy every jax.Array leaf into a fresh device buffer with the SAME
+    sharding. The train step donates state buffers, so an async writer must
+    never hold the live arrays — it would race the next step's donation. The
+    copy is HBM→HBM (cheap) and each process copies only its own shards."""
+    def cp(x):
+        if isinstance(x, jax.Array):
+            return jnp.copy(x)
+        return x
+    return jax.tree_util.tree_map(cp, tree)
+
+
 def save_ckpt(run_dir: str, state: TrainState, epoch: int,
               scheduler_state: Optional[dict] = None,
               async_save: bool = False) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(ckpt_dir(run_dir), str(epoch)))
-    tree = {
-        # device_get is synchronous ON PURPOSE: the train step donates state
-        # buffers, so handing live device arrays to a background writer would
-        # race the next step's donation. The host fetch is the cheap part;
-        # the async win is overlapping serialization + disk IO with compute.
-        "params": jax.device_get(state.params),
-        "batch_stats": dict(jax.device_get(state.batch_stats)),
-        "opt_state": jax.device_get(state.opt_state),
-        "epoch": epoch,
-        "scheduler": scheduler_state or {},
-    }
+    if _needs_sharded_io(state):
+        # multi-host / multi-device state: every process writes ONLY the
+        # shards it owns (orbax tensorstore); no host gather, no broadcast.
+        # On-device snapshot instead of device_get — same donation-safety
+        # property, but the full array never has to fit one host.
+        tree = {
+            "params": _snapshot_on_device(state.params),
+            "batch_stats": dict(_snapshot_on_device(state.batch_stats)),
+            "opt_state": _snapshot_on_device(state.opt_state),
+            "epoch": epoch,
+            "scheduler": scheduler_state or {},
+        }
+    else:
+        tree = {
+            # device_get is synchronous ON PURPOSE: the train step donates
+            # state buffers, so handing live device arrays to a background
+            # writer would race the next step's donation. The host fetch is
+            # the cheap part; the async win is overlapping serialization +
+            # disk IO with compute.
+            "params": jax.device_get(state.params),
+            "batch_stats": dict(jax.device_get(state.batch_stats)),
+            "opt_state": jax.device_get(state.opt_state),
+            "epoch": epoch,
+            "scheduler": scheduler_state or {},
+        }
     # scheduler state also goes to a tiny JSON sidecar: its keys depend on
     # the scheduler (plateau: lr/best/num_bad), so a fixed restore template
-    # can't name them — the sidecar spares load_ckpt a second full restore
-    os.makedirs(ckpt_dir(run_dir), exist_ok=True)
-    with open(path + ".sched.json", "w") as f:
-        json.dump(scheduler_state or {}, f)
+    # can't name them — the sidecar spares load_ckpt a second full restore.
+    # Directory surgery happens on process 0 only (shared filesystem), with
+    # barriers so no process saves into a dir another is still deleting.
+    if jax.process_index() == 0:
+        os.makedirs(ckpt_dir(run_dir), exist_ok=True)
+        with open(path + ".sched.json", "w") as f:
+            json.dump(scheduler_state or {}, f)
     if async_save:
         ckptr = _async_ckptr()
         ckptr.wait_until_finished()      # previous save must commit first
-        if os.path.exists(path):
+        if jax.process_index() == 0 and os.path.exists(path):
             shutil.rmtree(path)
+        _barrier(f"ckpt_save_{epoch}")
         ckptr.save(path, tree)
         return
-    if os.path.exists(path):
+    if jax.process_index() == 0 and os.path.exists(path):
         shutil.rmtree(path)
+    _barrier(f"ckpt_save_{epoch}")
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, tree)
 
@@ -474,14 +533,38 @@ def load_ckpt(run_dir: str, state: TrainState,
         # NamedTuples) and array dtypes; the scheduler dict's keys depend on
         # the scheduler that SAVED the ckpt (plateau: lr/best/num_bad), so it
         # is excluded here (partial_restore) and read back raw below
-        template = {
-            "params": jax.device_get(state.params),
-            "batch_stats": dict(jax.device_get(state.batch_stats)),
-            "opt_state": jax.device_get(state.opt_state),
-            "epoch": 0,
-        }
+        restore_args = None
+        if _needs_sharded_io(state):
+            # sharded resume: every leaf restores DIRECTLY onto the live
+            # state's mesh layout — each process reads only its own shards,
+            # nothing is materialized host-side. The fresh state the driver
+            # built for this run carries the target NamedShardings.
+            def abstract(x):
+                if isinstance(x, jax.Array):
+                    return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                                sharding=x.sharding)
+                return x
+            template = {
+                "params": jax.tree_util.tree_map(abstract, state.params),
+                "batch_stats": dict(
+                    jax.tree_util.tree_map(abstract, state.batch_stats)),
+                "opt_state": jax.tree_util.tree_map(abstract,
+                                                    state.opt_state),
+                "epoch": 0,
+            }
+            restore_args = ocp.checkpoint_utils.construct_restore_args(
+                template)
+        else:
+            template = {
+                "params": jax.device_get(state.params),
+                "batch_stats": dict(jax.device_get(state.batch_stats)),
+                "opt_state": jax.device_get(state.opt_state),
+                "epoch": 0,
+            }
         try:
-            restored = ckptr.restore(path, item=template, partial_restore=True)
+            restored = ckptr.restore(path, item=template,
+                                     restore_args=restore_args,
+                                     partial_restore=True)
         except Exception as e:
             raise RuntimeError(
                 f"checkpoint restore failed for {d}/{target}: {e}\n"
@@ -515,6 +598,8 @@ def clean_ckpt(run_dir: str, keep_epoch, wait: bool = True) -> None:
     safe when every kept epoch includes the one currently being written."""
     if wait:
         wait_for_ckpts()                  # never rmtree under an async write
+    if jax.process_index() != 0:          # shared-fs surgery: process 0 only
+        return
     keep = {keep_epoch} if isinstance(keep_epoch, int) else set(keep_epoch)
     d = ckpt_dir(run_dir)
     if not os.path.isdir(d):
