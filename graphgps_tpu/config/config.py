@@ -206,6 +206,11 @@ def new_cfg() -> CfgNode:
         # rematerializes into the attention backward (docs/RESULTS.md).
         # 'threefry' restores JAX's default bit-exact streams.
         rng_impl="rbg",
+        # elastic recovery: on SIGTERM/SIGUSR1 (pod preemption notice) finish
+        # the current epoch, checkpoint synchronously, and exit cleanly so an
+        # auto_resume relaunch continues where it stopped (train/loop.py
+        # install_preemption_handler; SURVEY.md §5 failure detection)
+        preempt_save=True,
     )
 
     # --- model -----------------------------------------------------------------

@@ -20,6 +20,8 @@ import json
 import logging
 import os
 import shutil
+import signal
+import threading
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -621,6 +623,49 @@ def clean_ckpt(run_dir: str, keep_epoch, wait: bool = True) -> None:
 
 
 # ---------------------------------------------------------------------------------
+# Preemption-safe elastic recovery (SURVEY.md §5 failure detection: the
+# reference has nothing beyond auto_resume; TPU pods DO get preempted, with a
+# SIGTERM grace window). The handler only sets a flag — the epoch loop checks
+# it at the next epoch boundary, checkpoints SYNCHRONOUSLY (the process may be
+# SIGKILLed right after the grace period) and returns cleanly, so a relaunch
+# with train.auto_resume continues from the saved epoch.
+
+_PREEMPT = threading.Event()
+
+
+def request_preemption(*_sig_args) -> None:
+    """Signal-handler-compatible; also callable directly (tests, notebooks)."""
+    _PREEMPT.set()
+
+
+def clear_preemption() -> None:
+    _PREEMPT.clear()
+
+
+def install_preemption_handler(signals=(signal.SIGTERM, signal.SIGUSR1)) -> None:
+    """Route preemption notices to the flag. Idempotent; silently skipped off
+    the main thread (signal.signal is main-thread-only)."""
+    try:
+        for s in signals:
+            signal.signal(s, request_preemption)
+    except ValueError:
+        log.warning("not on the main thread — preemption signals not hooked "
+                    "(call train.loop.request_preemption() directly instead)")
+
+
+def preemption_requested() -> bool:
+    """Did any process get a preemption notice? Multi-host runs agree via an
+    allgather so every process takes the checkpoint-and-exit branch together
+    (divergent control flow would deadlock the next collective)."""
+    flag = _PREEMPT.is_set()
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        flag = bool(np.asarray(multihost_utils.process_allgather(
+            np.asarray([flag]))).any())
+    return flag
+
+
+# ---------------------------------------------------------------------------------
 # Epoch loops
 
 def is_eval_epoch(cfg, epoch: int) -> bool:
@@ -827,10 +872,13 @@ def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
         if plateau and sched_state:
             schedule.load_state_dict(sched_state)
 
+    if cfg.train.get("preempt_save", True):
+        install_preemption_handler()
     rng = run_key(cfg, cfg.seed + 1234)
     best_val = None
     best_epoch = -1
     prev_best_ckpt = None   # last best-epoch ckpt whose write has committed
+    preempted_epoch = None  # epoch checkpointed on a preemption notice
     history: Dict[str, List[Dict]] = {s: [] for s in loaders}
     full_epoch_times = []
     profiled = False
@@ -908,10 +956,26 @@ def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
             save_ckpt(run_dir, state, epoch,
                       schedule.state_dict() if plateau else None,
                       async_save=cfg.train.get("ckpt_async", True))
+        if cfg.train.get("preempt_save", True) and preemption_requested():
+            # synchronous save: the grace window may end in SIGKILL, so the
+            # write must be committed before we report a clean stop
+            save_ckpt(run_dir, state, epoch,
+                      schedule.state_dict() if plateau else None,
+                      async_save=False)
+            preempted_epoch = epoch
+            log.warning("preemption notice received — checkpointed epoch %d "
+                        "and stopping; relaunch with train.auto_resume True "
+                        "to continue", epoch)
+            break
     wait_for_ckpts()                      # commit the tail save before return
     if (cfg.train.enable_ckpt and cfg.train.ckpt_best and cfg.train.ckpt_clean
             and prev_best_ckpt is not None):
-        clean_ckpt(run_dir, prev_best_ckpt)   # drop the crash-fallback dir
+        # drop the crash-fallback dir — but never the preemption save, which
+        # is what the auto_resume relaunch restarts from
+        keep = {prev_best_ckpt}
+        if preempted_epoch is not None:
+            keep.add(preempted_epoch)
+        clean_ckpt(run_dir, keep)
     log.info("avg epoch time: %.2fs; best %s %s=%.5f @ epoch %d",
              float(np.mean(full_epoch_times)) if full_epoch_times else 0.0,
              "val", metric, best_val if best_val is not None else float("nan"),
