@@ -67,6 +67,8 @@ class GPSLayer(nn.Module):
                  layer_idx: Optional[jax.Array] = None):
         # ``layer_idx``: traced per-layer index used under nn.scan (where the
         # static self.layer_index is shared by every layer of the stack)
+        from ..parallel.mesh import constrain_nodes
+        x = constrain_nodes(x)  # pin canonical DP layout at layer boundary
         h_in = x
         d = self.dim_h
         outs = []
@@ -133,7 +135,13 @@ class GPSLayer(nn.Module):
                     if bias is not None or (train and self.attn_dropout > 0):
                         raise ValueError("ring attention supports neither "
                                          "attention bias nor attn_dropout")
-                    o = ring_mha(q, k, v, kmask, mesh, axis="model")
+                    # keep the batch dim data-parallel inside the ring
+                    # shard_map when it divides evenly — avoids a per-layer
+                    # replicate/reshard of q/k/v and the bool mask
+                    dsz = mesh.shape.get("data", 1)
+                    batch_axis = "data" if (dsz > 1 and B % dsz == 0) else None
+                    o = ring_mha(q, k, v, kmask, mesh, axis="model",
+                                 batch_axis=batch_axis)
                 else:
                     rng = (self.make_rng("dropout")
                            if train and self.attn_dropout > 0 else None)
@@ -177,6 +185,12 @@ class GPSLayer(nn.Module):
                 raise ValueError(f"unknown global model {gt}")
 
             h_attn = batch.flat_view(merge_heads(o))
+            if self.attn_impl == "ring":
+                # ring output's node axis is sharded data×model jointly;
+                # re-pin the canonical DP layout so the reshard (fwd + bwd)
+                # lowers as a single all-gather over 'model'
+                from ..parallel.mesh import constrain_nodes
+                h_attn = constrain_nodes(h_attn)
             h_attn = nn.Dense(d)(h_attn)                  # output projection
             h_attn = nn.Dropout(self.dropout, deterministic=not train)(h_attn)
             h_attn = h_in + h_attn
@@ -197,6 +211,11 @@ class GPSLayer(nn.Module):
             h, batch.node_mask, train)
         # zero padded slots so they never leak into aggregations
         h = jnp.where(batch.node_mask[:, None], h, 0.0)
+        # layer-boundary constraint: within-layer shardings (TP FFN
+        # intermediates, edge-partitioned aggregations, ring attention) meet
+        # here at a single well-defined reshard instead of letting SPMD
+        # propagate exotic layouts into the next layer's backward pass
+        h = constrain_nodes(h)
         return h, e
 
 

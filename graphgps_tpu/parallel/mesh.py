@@ -114,3 +114,19 @@ def set_current_mesh(mesh: Optional[Mesh]) -> None:
 
 def current_mesh() -> Optional[Mesh]:
     return _CURRENT_MESH
+
+
+def constrain_nodes(x: jax.Array) -> jax.Array:
+    """Pin a flat node tensor (B*Nmax, ...) to the canonical data-parallel
+    layout P('data', None, ...). No-op without an active mesh.
+
+    Used at layout transitions (e.g. the ring-attention output's flat view,
+    whose node axis is jointly sharded over data×model): an explicit
+    constraint lets XLA lower the reshard — forward AND transpose — as one
+    all-gather over 'model' instead of the SPMD partitioner's last-resort
+    full rematerialization (MULTICHIP_r02.json warnings)."""
+    mesh = current_mesh()
+    if mesh is None:
+        return x
+    spec = P("data", *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

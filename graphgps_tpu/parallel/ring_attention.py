@@ -58,16 +58,23 @@ def _ring_body(q, k, v, kmask, axis_name: str):
 
 
 def ring_mha(q: jax.Array, k: jax.Array, v: jax.Array, key_mask: jax.Array,
-             mesh: Mesh, axis: str = "data") -> jax.Array:
+             mesh: Mesh, axis: str = "data",
+             batch_axis: Optional[str] = None) -> jax.Array:
     """Dense masked MHA with the node axis sharded over ``axis``.
 
     q,k,v: (B, H, N, Dh) global arrays (N divisible by the axis size);
     key_mask: (B, N) bool. Returns (B, H, N, Dh) sharded like q.
+
+    ``batch_axis``: mesh axis the batch dim is data-parallel over. Passing it
+    keeps B sharded *inside* the shard_map (DP × SP jointly), so q/k/v and the
+    bool mask enter in their native data-parallel layout — without it SPMD
+    must replicate-then-reshard every layer (the round-2 involuntary full
+    rematerialization warnings, MULTICHIP_r02.json).
     """
     from jax.experimental.shard_map import shard_map
 
-    spec_qkv = P(None, None, axis, None)
-    spec_mask = P(None, axis)
+    spec_qkv = P(batch_axis, None, axis, None)
+    spec_mask = P(batch_axis, axis)
     fn = shard_map(
         functools.partial(_ring_body, axis_name=axis),
         mesh=mesh,

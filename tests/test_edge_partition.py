@@ -230,7 +230,29 @@ def test_config_knob_routes_model_training(rng):
         set_current_mesh(None)
 
     np.testing.assert_allclose(float(loss_ep), float(loss_ref), rtol=2e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(s_ep.params),
-                    jax.tree_util.tree_leaves(s_ref.params)):
+
+    # Gradient parity is the exactness claim. Post-Adam params are NOT a
+    # sound comparison surface: Adam normalizes by sqrt(v), so an f32
+    # reduction-order difference on a near-zero gradient component flips its
+    # sign and produces a full lr-sized update delta. Compare raw grads.
+    import jax.numpy as jnp
+
+    def loss_fn(params):
+        (pred, true), _ = model.apply(
+            {"params": params, "batch_stats": state.batch_stats}, gb, True,
+            rngs={"dropout": key}, mutable=["batch_stats"])
+        m = gb.graph_mask
+        return (jnp.abs(pred[:, 0] - true[:, 0]) * m).sum() / m.sum()
+
+    g_ref = jax.jit(jax.grad(loss_fn))(state.params)
+    set_current_mesh(mesh)
+    set_edge_partition(True)
+    try:
+        g_ep = jax.jit(jax.grad(loss_fn))(state.params)
+    finally:
+        set_edge_partition(False)
+        set_current_mesh(None)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ep),
+                    jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-4, atol=1e-5)
+                                   rtol=1e-4, atol=2e-6)
