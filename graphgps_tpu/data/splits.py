@@ -31,11 +31,14 @@ def _check_disjoint(idx_sets: Sequence[np.ndarray]) -> None:
                     f"splits {i} and {j} intersect: {inter.size} shared indices")
 
 
-def random_split(n: int, fracs: Sequence[float], seed: int) -> Tuple[np.ndarray, ...]:
+def random_split(n: int, fracs: Sequence[float], seed: int,
+                 shuffle: bool = True) -> Tuple[np.ndarray, ...]:
+    """``shuffle=False`` (cfg.dataset.shuffle_split, GraphGym parity) takes
+    contiguous index ranges instead of a seeded permutation."""
     if abs(sum(fracs) - 1.0) > 1e-6:
         raise ValueError(f"split fractions must sum to 1, got {fracs}")
-    rng = np.random.default_rng(seed)
-    perm = rng.permutation(n)
+    perm = (np.random.default_rng(seed).permutation(n) if shuffle
+            else np.arange(n))
     a = int(n * fracs[0])
     b = a + int(n * fracs[1])
     out = (perm[:a], perm[a:b], perm[b:])
@@ -72,7 +75,8 @@ def prepare_splits(splits: DatasetSplits, cfg) -> DatasetSplits:
     n = len(graphs)
     if mode == "random":
         fr = list(cfg.dataset.split) or [0.8, 0.1, 0.1]
-        tr, va, te = random_split(n, fr, cfg.seed)
+        tr, va, te = random_split(n, fr, cfg.seed,
+                                  shuffle=cfg.dataset.shuffle_split)
     elif mode.startswith("cv-"):
         k = int(mode.split("-")[1])
         folds = cv_fold_indices(n, k, cfg.seed, cfg.dataset.split_dir,

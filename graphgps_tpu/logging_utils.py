@@ -142,12 +142,18 @@ def agg_dict_list(dict_list: List[Dict]) -> Dict:
 
 
 def agg_runs(out_dir: str, metric_best: str = "auto",
-             metric_agg: str = "argmax") -> Dict[str, Dict]:
+             metric_agg: str = "argmax",
+             tensorboard: bool = True) -> Dict[str, Dict]:
     """Aggregate seed dirs under out_dir: mean±std per epoch + best-epoch stats.
 
     Seed dirs are numeric subdirs each holding {split}/stats.json. Writes
     agg/{split}/{stats,best}.json. Best epoch is chosen on the VAL split by
     metric_best with argmax/argmin (reference agg_runs.py:95-131).
+
+    Callers with a cfg should pass ``resolve_metric_best(cfg)`` (the driver
+    does) so best-epoch selection here can never drift from the in-run
+    selection; the 'auto' fallback below is for standalone/partial-run use.
+    ``tensorboard`` gates the aggregate TB writer (cfg.tensorboard_agg).
     """
     seed_dirs = sorted(d for d in os.listdir(out_dir)
                        if d.isdigit() and os.path.isdir(os.path.join(out_dir, d)))
@@ -188,16 +194,18 @@ def agg_runs(out_dir: str, metric_best: str = "auto",
         with open(os.path.join(agg_dir, "stats.json"), "w") as f:
             for e in epoch_stats:
                 f.write(json.dumps(e) + "\n")
-        # TensorBoard for aggregates (reference agg_runs.py:150-156)
-        try:
-            from tensorboardX import SummaryWriter
-            with SummaryWriter(agg_dir) as tb:
-                for e in epoch_stats:
-                    for k, v in e.items():
-                        if isinstance(v, (int, float)) and k != "epoch":
-                            tb.add_scalar(k, v, int(e.get("epoch", 0)))
-        except Exception:
-            pass
+        # TensorBoard for aggregates (reference agg_runs.py:150-156),
+        # gated by cfg.tensorboard_agg
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+                with SummaryWriter(agg_dir) as tb:
+                    for e in epoch_stats:
+                        for k, v in e.items():
+                            if isinstance(v, (int, float)) and k != "epoch":
+                                tb.add_scalar(k, v, int(e.get("epoch", 0)))
+            except Exception:
+                pass
         # best-epoch stats: each seed contributes its own best val epoch's
         # stats, matched by the recorded 'epoch' field (closest ≤ best when
         # this split has no row at exactly that epoch)

@@ -45,6 +45,7 @@ class GPSLayer(nn.Module):
     attn_dropout: float = 0.0
     layer_norm: bool = False
     batch_norm: bool = True
+    norm_eps: float = 1e-5  # standalone BigBird threads gt.bigbird.layer_norm_eps
     log_attn_weights: bool = False
     # dense attention implementation: auto / dense / ring (node-axis SP over
     # the mesh 'model' axis, parallel/ring_attention.py)
@@ -105,7 +106,8 @@ class GPSLayer(nn.Module):
                 h_local = nn.Dropout(self.dropout, deterministic=not train)(h_local)
                 h_local = h_in + h_local
                 h_local = Norm(batch_norm=self.batch_norm,
-                               layer_norm=self.layer_norm)(
+                               layer_norm=self.layer_norm,
+                               eps=self.norm_eps)(
                                    h_local, batch.node_mask, train)
             outs.append(h_local)
 
@@ -194,7 +196,8 @@ class GPSLayer(nn.Module):
             h_attn = nn.Dense(d)(h_attn)                  # output projection
             h_attn = nn.Dropout(self.dropout, deterministic=not train)(h_attn)
             h_attn = h_in + h_attn
-            h_attn = Norm(batch_norm=self.batch_norm, layer_norm=self.layer_norm)(
+            h_attn = Norm(batch_norm=self.batch_norm, layer_norm=self.layer_norm,
+                          eps=self.norm_eps)(
                 h_attn, batch.node_mask, train)
             outs.append(h_attn)
 
@@ -207,7 +210,8 @@ class GPSLayer(nn.Module):
         h2 = nn.Dense(d)(h2)
         h2 = nn.Dropout(self.dropout, deterministic=not train)(h2)
         h = h + h2
-        h = Norm(batch_norm=self.batch_norm, layer_norm=self.layer_norm)(
+        h = Norm(batch_norm=self.batch_norm, layer_norm=self.layer_norm,
+                 eps=self.norm_eps)(
             h, batch.node_mask, train)
         # zero padded slots so they never leak into aggregations
         h = jnp.where(batch.node_mask[:, None], h, 0.0)

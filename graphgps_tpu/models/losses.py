@@ -120,4 +120,8 @@ def compute_loss(cfg, pred, true, mask) -> jax.Array:
         name = "multilabel_cross_entropy"
     if name == "cross_entropy" and tt == "classification_binary":
         name = "binary_cross_entropy"
-    return loss_dict[name](pred, true, mask)
+    loss = loss_dict[name](pred, true, mask)
+    if cfg.model.size_average == "sum":
+        # GraphGym reduction='sum' parity: undo the masked-mean reduction
+        loss = loss * mask.sum()
+    return loss

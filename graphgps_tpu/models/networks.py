@@ -42,20 +42,23 @@ def _make_node_encoder(name: str, dim_emb: int, cfg: CfgNode):
         p = cfg[f"posenc_{name}"]
         return node_encoder_dict[name](
             kernel_type=name, dim_pe=p.dim_pe, model=p.model,
-            layers=p.layers, raw_norm_type=p.raw_norm_type)
+            layers=p.layers, raw_norm_type=p.raw_norm_type,
+            pass_as_var=p.pass_as_var)
     if name == "LapPE":
         p = cfg.posenc_LapPE
         return node_encoder_dict[name](
             dim_pe=p.dim_pe, model=p.model if p.model != "none" else "DeepSet",
             layers=p.layers, n_heads=p.n_heads, post_layers=p.post_layers,
-            max_freqs=p.eigen.max_freqs, raw_norm_type=p.raw_norm_type)
+            max_freqs=p.eigen.max_freqs, raw_norm_type=p.raw_norm_type,
+            pass_as_var=p.pass_as_var)
     if name == "SignNet":
         p = cfg.posenc_SignNet
         return node_encoder_dict[name](
             dim_pe=p.dim_pe, phi_hidden_dim=p.phi_hidden_dim,
             phi_out_dim=p.phi_out_dim, layers=p.layers,
             post_layers=max(1, p.post_layers), max_freqs=p.eigen.max_freqs,
-            model=p.model if p.model in ("MLP", "DeepSet") else "MLP")
+            model=p.model if p.model in ("MLP", "DeepSet") else "MLP",
+            pass_as_var=p.pass_as_var)
     if name == "EquivStableLapPE":
         return node_encoder_dict[name](dim_pe=cfg.posenc_EquivStableLapPE.dim_pe)
     if name == "GraphormerBias":
@@ -244,7 +247,10 @@ class SANTransformer(nn.Module):
         if cfg.gnn.layers_pre_mp > 0:
             x = GNNPreMP(dim=d, num_layers=cfg.gnn.layers_pre_mp,
                          act=cfg.gnn.act)(batch, x, train)
-        gamma_learnable = cfg.gt.layer_type == "SAN2"
+        # SAN2 = learnable γ (reference san2_layer.py:49-50); the explicit
+        # gt.gamma_learnable knob also enables it on plain SAN
+        gamma_learnable = (cfg.gt.layer_type == "SAN2"
+                           or cfg.gt.gamma_learnable)
         for _ in range(cfg.gt.layers):
             x, e = SANLayer(dim_h=d, num_heads=cfg.gt.n_heads, gamma=cfg.gt.gamma,
                             full_graph=cfg.gt.full_graph,
@@ -320,6 +326,13 @@ class BigBirdNet(nn.Module):
     def __call__(self, batch: GraphBatch, train: bool, step=None):
         cfg = self.cfg
         d = cfg.gt.dim_hidden
+        # HF max_seqlen semantics (vendored bigbird_layer.py:223): the dense
+        # node sequence must fit the configured maximum
+        if batch.max_nodes > cfg.gt.bigbird.max_position_embeddings:
+            raise ValueError(
+                f"batch max_nodes {batch.max_nodes} exceeds "
+                f"gt.bigbird.max_position_embeddings "
+                f"{cfg.gt.bigbird.max_position_embeddings}")
         x, _ = FeatureEncoder(cfg=cfg, dim_h=d)(batch, train)
         for li in range(cfg.gt.layers):
             x, _ = GPSLayer(dim_h=d, local_gnn_type="None",
@@ -330,7 +343,8 @@ class BigBirdNet(nn.Module):
                             bigbird_block_size=cfg.gt.bigbird.block_size,
                             bigbird_num_random_blocks=cfg.gt.bigbird.num_random_blocks,
                             bigbird_attention_type=cfg.gt.bigbird.attention_type,
-                            layer_norm=True, batch_norm=False)(
+                            layer_norm=True, batch_norm=False,
+                            norm_eps=cfg.gt.bigbird.layer_norm_eps)(
                                 batch, x, None, train, step)
         return _make_head(cfg, d, self.dim_out)(batch, x, train)
 
@@ -351,14 +365,31 @@ class CustomGNN(nn.Module):
             x = GNNPreMP(dim=d, num_layers=cfg.gnn.layers_pre_mp,
                          act=cfg.gnn.act)(batch, x, train)
         lt = cfg.gnn.layer_type
+        # GraphGym stage_type: 'skipsum' adds the residual per layer like
+        # gnn.residual; 'skipconcat' is rejected by validate_cfg
+        residual = cfg.gnn.residual or cfg.gnn.stage_type == "skipsum"
         for _ in range(cfg.gnn.layers_mp):
             if lt in ("gatedgcnconv", "custom_gatedgcn"):
                 x, e = GatedGCNLayer(dim=d, dropout=cfg.gnn.dropout,
-                                     residual=cfg.gnn.residual, act=cfg.gnn.act,
+                                     residual=residual, act=cfg.gnn.act,
                                      batch_norm=cfg.gnn.batchnorm)(batch, x, e, train)
-            else:  # gineconv and GraphGym-style conv stacks
+            elif lt in ("gatconv", "gcnconv", "ginconv"):
+                # plain GraphGym-style conv stacks (reference custom_gnn is
+                # GatedGCN/GINE only; these cover GraphGym's own layer names)
+                from .local_gnn import GATLayer, GCNLayer, GINLayer
+                conv = {"gatconv": lambda: GATLayer(
+                            dim=d, heads=cfg.gnn.att_heads),
+                        "gcnconv": lambda: GCNLayer(dim=d),
+                        "ginconv": lambda: GINLayer(dim=d, act=cfg.gnn.act)}[
+                            lt]()
+                h, _ = conv(batch, x, e, train)
+                h = get_act(cfg.gnn.act)(h)
+                if cfg.gnn.batchnorm:
+                    h = MaskedBatchNorm()(h, batch.node_mask, train)
+                x = x + h if residual else h
+            else:  # gineconv and GINE-style conv stacks
                 x, e = GINELayer(dim=d, dropout=cfg.gnn.dropout,
-                                 residual=cfg.gnn.residual, act=cfg.gnn.act,
+                                 residual=residual, act=cfg.gnn.act,
                                  batch_norm=cfg.gnn.batchnorm,
                                  wrap_norm_act=True)(batch, x, e, train)
         return _make_head(cfg, d, self.dim_out)(batch, x, train)

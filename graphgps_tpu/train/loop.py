@@ -909,6 +909,15 @@ def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
             log.info("profiler trace written to %s",
                      os.path.join(run_dir, "profile"))
         full_epoch_times.append(time.time() - t0)
+        # SAN learnable-γ epoch logging (reference custom_train.py:194-200):
+        # surface each layer's effective γ = sigmoid(logit) in stats.json
+        gammas = [leaf for path, leaf in
+                  jax.tree_util.tree_leaves_with_path(state.params)
+                  if path and getattr(path[-1], "key", None) == "gamma"]
+        if gammas:
+            loggers["train"].add_epoch_metrics(
+                {f"gamma_{i}": float(jax.nn.sigmoid(jnp.asarray(g)))
+                 for i, g in enumerate(gammas)})
         stats = loggers["train"].write_epoch(epoch)
         history["train"].append(stats)
 
