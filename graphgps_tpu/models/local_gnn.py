@@ -192,7 +192,8 @@ class GATLayer(nn.Module):
         hs, hr = _gx(batch, h, s), _gx(batch, h, r)
         alpha = (hs * a_src).sum(-1) + (hr * a_dst).sum(-1)  # (E, H)
         alpha = nn.leaky_relu(alpha, self.negative_slope)
-        attn = segment_softmax(alpha, r, batch.num_node_slots, mask=batch.edge_mask)
+        attn = segment_softmax(alpha, r, batch.num_node_slots,
+                               mask=batch.edge_mask, **_seg_kw(batch))
         msgs = hs * attn[..., None]
         agg = segment_sum(msgs, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
         return agg.reshape(x.shape[0], H * Dh), e
@@ -211,7 +212,7 @@ class GENConvLayer(nn.Module):
     def __call__(self, batch: GraphBatch, x, e, train: bool):
         s, r = batch.senders, batch.receivers
         m = nn.relu(_gx(batch, x, s) + e) + self.eps
-        w = segment_softmax(self.beta * m, r, batch.num_node_slots,
+        w = segment_softmax(self.beta * m, r, batch.num_node_slots, **_seg_kw(batch),
                             mask=batch.edge_mask)
         agg = segment_sum(w * m, r, batch.num_node_slots, mask=batch.edge_mask, **_seg_kw(batch))
         h = MLP(hidden_dim=self.dim * 2, out_dim=self.dim, num_layers=2)(x + agg)
@@ -255,9 +256,11 @@ class PNALayer(nn.Module):
             if name == "mean":
                 aggs.append(mean)
             elif name == "max":
-                aggs.append(segment_max(m, r, S, mask=batch.edge_mask))
+                aggs.append(segment_max(m, r, S, mask=batch.edge_mask,
+                                        **_seg_kw(batch)))
             elif name == "min":
-                aggs.append(segment_min(m, r, S, mask=batch.edge_mask))
+                aggs.append(segment_min(m, r, S, mask=batch.edge_mask,
+                                        **_seg_kw(batch)))
             elif name == "std":
                 sq = packed[:, d:2 * d] / cnt
                 aggs.append(jnp.sqrt(nn.relu(sq - mean * mean) + 1e-5))

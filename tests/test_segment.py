@@ -157,3 +157,63 @@ def test_blocked_gather_matches_take(rng):
     np.testing.assert_array_equal(
         np.asarray(gather(xi, idx, edge_block=Ecap, max_nodes=Nmax)),
         np.asarray(xi[idx]))
+
+
+def test_blocked_minmax_matches_global(rng):
+    """Blocked max/min (fused select-reduce, VERDICT r2 weak #3) == the
+    scatter path, fwd + bwd, including empty-segment zero fill. Called
+    directly — the public dispatch keeps it opt-in (GGPS_BLOCKED_MINMAX)
+    after it measured slower than the scatter for PNA (docs/RESULTS.md)."""
+    from graphgps_tpu.ops.segment import (_blocked_minmax, segment_max,
+                                          segment_min)
+
+    B, Ecap, Nmax, d = 4, 6, 5, 3
+    E = B * Ecap
+    local = rng.integers(0, Nmax, size=(B, Ecap)).astype(np.int32)
+    ids = (local + np.arange(B)[:, None] * Nmax).reshape(-1)
+    data = rng.normal(size=(E, d)).astype(np.float32)
+    mask = rng.random(E) > 0.3
+    S = B * Nmax
+    for fn, op in ((segment_max, "max"), (segment_min, "min")):
+        ref = np.asarray(fn(jnp.array(data), jnp.array(ids), S,
+                            jnp.array(mask)))
+        out = np.asarray(_blocked_minmax(jnp.array(data), jnp.array(ids),
+                                         Ecap, Nmax, jnp.array(mask), op))
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+        g_ref = jax.grad(lambda x: (fn(x, jnp.array(ids), S,
+                                       jnp.array(mask)) ** 2).sum())(
+                                           jnp.array(data))
+        g_out = jax.grad(lambda x: (_blocked_minmax(
+            x, jnp.array(ids), Ecap, Nmax, jnp.array(mask),
+            op) ** 2).sum())(jnp.array(data))
+        np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_blocked_softmax_matches_global(rng):
+    """Per-graph-constant-shift softmax (scatter-free) is the EXACT softmax:
+    matches the segment-max-shift path to f32 precision, fwd + bwd."""
+    from graphgps_tpu.ops.segment import segment_softmax
+
+    B, Ecap, Nmax, H = 4, 6, 5, 2
+    E = B * Ecap
+    local = rng.integers(0, Nmax, size=(B, Ecap)).astype(np.int32)
+    ids = (local + np.arange(B)[:, None] * Nmax).reshape(-1)
+    S = B * Nmax
+    mask = rng.random(E) > 0.3
+    for shape in ((E,), (E, H)):
+        scores = (rng.normal(size=shape) * 5).astype(np.float32)
+        ref = np.asarray(segment_softmax(jnp.array(scores), jnp.array(ids),
+                                         S, jnp.array(mask)))
+        out = np.asarray(segment_softmax(jnp.array(scores), jnp.array(ids),
+                                         S, jnp.array(mask), edge_block=Ecap,
+                                         max_nodes=Nmax))
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+        g_ref = jax.grad(lambda x: (segment_softmax(
+            x, jnp.array(ids), S, jnp.array(mask)) ** 2).sum())(
+                jnp.array(scores))
+        g_out = jax.grad(lambda x: (segment_softmax(
+            x, jnp.array(ids), S, jnp.array(mask), edge_block=Ecap,
+            max_nodes=Nmax) ** 2).sum())(jnp.array(scores))
+        np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-6)
