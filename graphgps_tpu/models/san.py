@@ -90,11 +90,14 @@ class SANAttention(nn.Module):
             s2 = jnp.exp(jnp.clip(s2 / jnp.sqrt(float(Dh)), -5.0, 5.0))
             s2 = s2 * (gamma / (gamma + 1.0))
             vmask = batch.dense_view(batch.node_mask)  # (B, N)
-            adj = dense_adjacency(batch)
+            adj = dense_adjacency(batch)               # adj[b, s, r] = s→r
             eye = jnp.eye(N, dtype=bool)
+            # fake_mask[b, j, i]: message i→j allowed ⟺ real edge i→j absent
+            # ⟺ ¬adj[b, i, j] — note the transpose. (Caught by the
+            # reference-extracted fixtures on a graph with asymmetric edges,
+            # tests/test_reference_fixtures.py; invisible on undirected data.)
             fake_mask = (vmask[:, :, None] & vmask[:, None, :]
-                         & ~adj & ~eye[None])          # (B, j?, i?) pairs
-            # fake_mask[b, j, i]: message i→j allowed
+                         & ~jnp.swapaxes(adj, 1, 2) & ~eye[None])
             s2 = s2 * fake_mask[:, None, :, :]
             wV2 = jnp.einsum("bhji,bihd->bjhd", s2, vd.astype(s2.dtype))
             Z2 = s2.sum(axis=-1).transpose(0, 2, 1)    # (B, N, H)
