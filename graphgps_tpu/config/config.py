@@ -237,6 +237,10 @@ def new_cfg() -> CfgNode:
         # mesh 'model' axis — parallel/ring_attention.py)
         attn_impl="auto",
     )
+    # Performer options of the vendored stack (reference performer_layer.py
+    # :421-513): some heads use bucketed local-window attention instead of
+    # FAVOR+ (window ± 1 bucket, the LocalAttention look_forward=1 semantics)
+    cfg.gt.performer = _node(local_attn_heads=0, local_window_size=256)
     cfg.gt.bigbird = _node(
         attention_type="block_sparse", chunk_size_feed_forward=0,
         is_decoder=False, add_cross_attention=False,

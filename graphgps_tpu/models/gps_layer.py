@@ -53,6 +53,12 @@ class GPSLayer(nn.Module):
     # performer
     performer_nb_features: Optional[int] = None
     performer_redraw_interval: int = 1000
+    # local-window heads (reference performer_layer.py:421-513): the LAST
+    # ``local_heads`` heads attend within ±1 bucket of ``local_window`` nodes
+    # instead of FAVOR+ (LocalAttention window semantics, look_forward=1;
+    # the rel-pos embedding extra is omitted — node order carries no signal)
+    performer_local_heads: int = 0
+    performer_local_window: int = 256
     # base seed for the FAVOR+ random projections — derived from the run seed
     # (fixing VERDICT weak #7: a hard-coded key gave identical random features
     # across all seeds)
@@ -156,15 +162,31 @@ class GPSLayer(nn.Module):
                         o, attn = o
                         self.sow("intermediates", "attn_weights", attn)
             elif gt == "Performer":
-                m = self.performer_nb_features or int(
-                    Dh * np.log(max(Dh, 2)))
-                idx = layer_idx if layer_idx is not None else self.layer_index
-                key = jax.random.fold_in(
-                    jax.random.PRNGKey(self.performer_key_seed), idx)
-                proj = favor.draw_projection(
-                    key, step if train else None,
-                    self.performer_redraw_interval, m, Dh)
-                o = favor.favor_attention(q, k, v, kmask, proj)
+                lh = min(self.performer_local_heads, H)
+                gh = H - lh
+                outs_p = []
+                if gh > 0:
+                    m = self.performer_nb_features or int(
+                        Dh * np.log(max(Dh, 2)))
+                    idx = (layer_idx if layer_idx is not None
+                           else self.layer_index)
+                    key = jax.random.fold_in(
+                        jax.random.PRNGKey(self.performer_key_seed), idx)
+                    proj = favor.draw_projection(
+                        key, step if train else None,
+                        self.performer_redraw_interval, m, Dh)
+                    outs_p.append(favor.favor_attention(
+                        q[:, :gh], k[:, :gh], v[:, :gh], kmask, proj))
+                if lh > 0:
+                    # bucketed local attention on the last lh heads
+                    # (reference performer_layer.py:455-459, 496-499)
+                    bucket = jnp.arange(N) // self.performer_local_window
+                    band = jnp.abs(bucket[:, None] - bucket[None, :]) <= 1
+                    bias = jnp.where(band, 0.0, -1e30)[None, None]
+                    outs_p.append(mha_core(q[:, gh:], k[:, gh:], v[:, gh:],
+                                           kmask, bias=bias))
+                o = outs_p[0] if len(outs_p) == 1 else jnp.concatenate(
+                    outs_p, axis=1)
             elif gt == "BigBird":
                 rng = (self.make_rng("dropout")
                        if train and self.attn_dropout > 0 else None)

@@ -201,6 +201,8 @@ class GPSModel(nn.Module):
             log_attn_weights=bool(cfg.train.get("log_attn_weights", False)),
             attn_impl=cfg.gt.get("attn_impl", "auto"),
             performer_key_seed=7919 + int(cfg.get("seed", 0)),
+            performer_local_heads=cfg.gt.performer.local_attn_heads,
+            performer_local_window=cfg.gt.performer.local_window_size,
             bigbird_block_size=cfg.gt.bigbird.block_size,
             bigbird_num_random_blocks=cfg.gt.bigbird.num_random_blocks,
             bigbird_attention_type=cfg.gt.bigbird.attention_type)
@@ -310,6 +312,8 @@ class PerformerNet(nn.Module):
                             num_heads=cfg.gt.n_heads, layer_index=li,
                             dropout=cfg.gt.dropout,
                             attn_dropout=cfg.gt.attn_dropout,
+                            performer_local_heads=cfg.gt.performer.local_attn_heads,
+                            performer_local_window=cfg.gt.performer.local_window_size,
                             layer_norm=True, batch_norm=False)(
                                 batch, x, None, train, step)
         return _make_head(cfg, d, self.dim_out)(batch, x, train)
