@@ -84,3 +84,54 @@ def test_multiseed_falls_back_on_accum(tmp_path):
     cfg = _cfg(tmp_path)
     cfg.optim.batch_accumulation = 4
     assert not run_multiseed(cfg, run_ids=[0, 1], seeds=SEEDS)
+
+
+def test_multiseed_wandb_replay(monkeypatch):
+    """wandb.use no longer bails multiseed: per-seed histories are replayed
+    into sequential named runs after training."""
+    import sys
+    import types
+
+    from graphgps_tpu.config.config import new_cfg
+    from graphgps_tpu.train.multiseed import _replay_wandb
+
+    calls = []
+
+    class _Run:
+        def __init__(self, name):
+            self.name = name
+            self.logged = []
+
+        def log(self, metrics, step=None):
+            self.logged.append((step, dict(metrics)))
+            calls.append((self.name, step))
+
+        def finish(self):
+            calls.append((self.name, "finish"))
+
+    fake = types.ModuleType("wandb")
+    runs = []
+
+    def init(**kw):
+        r = _Run(kw.get("name"))
+        runs.append(r)
+        return r
+
+    fake.init = init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    cfg = new_cfg()
+    cfg.wandb.use = True
+    cfg.wandb.project = "test"
+    history = [
+        {"train": [{"epoch": 0, "loss": 1.0}, {"epoch": 1, "loss": 0.5}],
+         "val": [{"epoch": 1, "mae": 0.4}]},
+        {"train": [{"epoch": 0, "loss": 2.0}]},
+    ]
+    _replay_wandb(cfg, [0, 1], [0, 1], history)
+    assert len(runs) == 2
+    assert runs[0].name.endswith(".s0") and runs[1].name.endswith(".s1")
+    # steps monotonic, val merged into epoch-1 step
+    assert runs[0].logged[0][0] == 0 and runs[0].logged[1][0] == 1
+    assert runs[0].logged[1][1]["val/mae"] == 0.4
+    assert calls[-1] == (runs[1].name, "finish")
