@@ -16,7 +16,9 @@ from flax import linen as nn
 from ..registry import act_dict, register_act
 
 register_act("relu")(nn.relu)
-register_act("gelu")(nn.gelu)
+# exact erf GELU: torch nn.GELU() default (jax's default is the tanh
+# approximation — a ~1e-3 divergence the reference fixtures would flag)
+register_act("gelu")(lambda x: jax.nn.gelu(x, approximate=False))
 register_act("silu")(nn.silu)
 register_act("swish")(nn.silu)
 register_act("tanh")(jnp.tanh)

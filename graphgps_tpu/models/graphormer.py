@@ -5,6 +5,7 @@ comes from the GraphormerBias encoder (encoders.py) via batch.extras['attn_bias'
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -47,7 +48,9 @@ class GraphormerLayer(nn.Module):
         seq = seq + h
         # pre-LN MLP
         h = nn.LayerNorm()(seq)
-        h = nn.gelu(nn.Dense(d)(h))
+        # exact erf GELU (torch nn.GELU() default, reference graphormer_layer
+        # .py:33; jax defaults to the tanh approximation)
+        h = jax.nn.gelu(nn.Dense(d)(h), approximate=False)
         h = nn.Dropout(self.mlp_dropout, deterministic=not train)(h)
         h = nn.Dense(d)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)

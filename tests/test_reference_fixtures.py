@@ -193,3 +193,104 @@ def test_lappe_encoder_matches_reference(fixtures, case_name, train,
     # reference output = [linear_x(x), pos_enc]; compare the PE columns
     np.testing.assert_allclose(np.asarray(out), case["out_x"][:, 16 - d_pe:],
                                rtol=1e-4, atol=1e-5)
+
+
+def _two_graph_batch(case, d=16):
+    n1, n2 = case["graph_sizes"]
+    nmax = int(max(n1, n2))
+    slot_of = np.concatenate([np.arange(n1),
+                              nmax + np.arange(n2)]).astype(np.int32)
+    x = np.zeros((2 * nmax, d), np.float32)
+    x[slot_of] = case["x"]
+    node_mask = np.zeros(2 * nmax, bool)
+    node_mask[slot_of] = True
+    e = case.get("e")
+    ei = (slot_of[case["edge_index"]] if "edge_index" in case
+          else np.zeros((2, 1), np.int32))
+    gb = GraphBatch(
+        node_feat=jnp.asarray(x),
+        edge_feat=None if e is None else jnp.asarray(e),
+        senders=jnp.asarray(ei[0], jnp.int32),
+        receivers=jnp.asarray(ei[1], jnp.int32),
+        node_mask=jnp.asarray(node_mask),
+        edge_mask=jnp.ones(ei.shape[1], bool) if "edge_index" in case
+        else jnp.zeros(1, bool),
+        graph_mask=jnp.ones(2, bool), y=None, pe={}, extras={},
+        num_graphs=2, max_nodes=nmax)
+    return gb, jnp.asarray(x), slot_of
+
+
+def test_san_block_matches_reference(fixtures):
+    """Full SANLayer block: attention + O + BatchNorm + FFN + BatchNorm
+    (reference san_layer.py:123-216)."""
+    from graphgps_tpu.models.san import SANLayer
+
+    case = fixtures["san_block"]
+    st = case["state"]
+    d, H, Dh = 16, 2, 8
+    gb, x, slot_of = _two_graph_batch(case)
+
+    def dgen(prefix):
+        return {"kernel": _t(st[f"attention.{prefix}.weight"])
+                .reshape(d, H, Dh)}
+
+    bn1_p, bn1_s = _bn(st, "batch_norm1_h")
+    bn2_p, bn2_s = _bn(st, "batch_norm2_h")
+    params = {
+        "SANAttention_0": {
+            "Q": dgen("Q"), "K": dgen("K"), "V": dgen("V"), "E": dgen("E"),
+            "Q2": dgen("Q_2"), "K2": dgen("K_2"), "E2": dgen("E_2"),
+            "fake_edge_emb": jnp.asarray(st["fake_edge_emb.weight"][0])},
+        "Dense_0": _dense(st, "O_h"),
+        "Dense_1": _dense(st, "FFN_h_layer1"),
+        "Dense_2": _dense(st, "FFN_h_layer2"),
+        "Norm_0": {"MaskedBatchNorm_0": bn1_p},
+        "Norm_1": {"MaskedBatchNorm_0": bn2_p},
+    }
+    batch_stats = {"Norm_0": {"MaskedBatchNorm_0": bn1_s},
+                   "Norm_1": {"MaskedBatchNorm_0": bn2_s}}
+    layer = SANLayer(dim_h=d, num_heads=H, gamma=0.1, full_graph=True,
+                     batch_norm=True, layer_norm=False, residual=True)
+    out, _ = layer.apply({"params": params, "batch_stats": batch_stats},
+                         gb, x, jnp.asarray(case["e"]), False)
+    np.testing.assert_allclose(np.asarray(out)[slot_of], case["out_x"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_graphormer_layer_matches_reference(fixtures):
+    """Pre-LN biased MHA + pre-LN exact-GELU MLP
+    (reference graphormer_layer.py:5-49); torch in_proj packing split into
+    q/k/v kernels."""
+    from graphgps_tpu.models.graphormer import GraphormerLayer
+
+    case = fixtures["graphormer_layer"]
+    st = case["state"]
+    d, H = 16, 2
+    gb, x, slot_of = _two_graph_batch(case)
+    nmax = gb.max_nodes
+    # reference bias is (B*H, Nmax, Nmax) for torch MHA; ours (B, H, N, N)
+    bias = jnp.asarray(case["attn_bias"].reshape(2, H, nmax, nmax))
+    gb = gb.replace(extras={"attn_bias": bias})
+
+    w_in = np.asarray(st["attention.in_proj_weight"])   # (3d, d) [q; k; v]
+    b_in = np.asarray(st["attention.in_proj_bias"])
+    def proj(i):
+        return {"kernel": jnp.asarray(w_in[i * d:(i + 1) * d].T),
+                "bias": jnp.asarray(b_in[i * d:(i + 1) * d])}
+
+    def ln(prefix):
+        return {"scale": jnp.asarray(st[f"{prefix}.weight"]),
+                "bias": jnp.asarray(st[f"{prefix}.bias"])}
+
+    params = {
+        "LayerNorm_0": ln("input_norm"),
+        "Dense_0": proj(0), "Dense_1": proj(1), "Dense_2": proj(2),
+        "Dense_3": _dense(st, "attention.out_proj"),
+        "LayerNorm_1": ln("mlp.0"),
+        "Dense_4": _dense(st, "mlp.1"),
+        "Dense_5": _dense(st, "mlp.4"),
+    }
+    layer = GraphormerLayer(dim_h=d, num_heads=H)
+    out, _ = layer.apply({"params": params}, gb, x, None, False)
+    np.testing.assert_allclose(np.asarray(out)[slot_of], case["out_x"],
+                               rtol=1e-4, atol=1e-5)

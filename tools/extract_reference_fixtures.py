@@ -150,6 +150,66 @@ def case_san_full(rng):
                 out_x=out.reshape(n, heads * dh).numpy(), state=state)
 
 
+def case_san_block(rng):
+    """Full reference SANLayer block: attention + O + BN + FFN + BN."""
+    from graphgps.layer.san_layer import SANLayer
+    import types
+
+    d, heads = 16, 2
+    n1, n2 = 7, 5
+    ei = np.concatenate([_graph(rng, n1), _graph(rng, n2) + n1], axis=1)
+    n, m = n1 + n2, ei.shape[1]
+    torch.manual_seed(4)
+    fake_edge_emb = torch.nn.Embedding(1, d)
+    layer = SANLayer(gamma=0.1, in_dim=d, out_dim=d, num_heads=heads,
+                     full_graph=True, fake_edge_emb=fake_edge_emb,
+                     dropout=0.0, layer_norm=False, batch_norm=True,
+                     residual=True, use_bias=False)
+    _randomize_bn(layer.batch_norm1_h, rng)
+    _randomize_bn(layer.batch_norm2_h, rng)
+    layer.eval()
+    x = torch.tensor(rng.normal(size=(n, d)), dtype=torch.float32)
+    e = torch.tensor(rng.normal(size=(m, d)), dtype=torch.float32)
+    gid = torch.tensor([0] * n1 + [1] * n2, dtype=torch.long)
+    batch = types.SimpleNamespace(
+        x=x.clone(), edge_attr=e.clone(),
+        edge_index=torch.tensor(ei, dtype=torch.long),
+        batch=gid, size=lambda dim=0: n)
+    with torch.no_grad():
+        out = layer(batch)
+    state = _sd(layer)
+    state["fake_edge_emb.weight"] = fake_edge_emb.weight.detach().numpy()
+    return dict(x=x.numpy(), e=e.numpy(), edge_index=ei,
+                graph_sizes=np.array([n1, n2]), out_x=out.x.numpy(),
+                state=state)
+
+
+def case_graphormer(rng):
+    """Reference GraphormerLayer: pre-LN torch MultiheadAttention with
+    additive attn_bias + pre-LN GELU MLP."""
+    from graphgps.layer.graphormer_layer import GraphormerLayer
+    import types
+
+    d, heads = 16, 2
+    n1, n2 = 6, 5
+    n = n1 + n2
+    nmax = max(n1, n2)
+    torch.manual_seed(5)
+    layer = GraphormerLayer(embed_dim=d, num_heads=heads, dropout=0.0,
+                            attention_dropout=0.0, mlp_dropout=0.0)
+    layer.eval()
+    x = torch.tensor(rng.normal(size=(n, d)), dtype=torch.float32)
+    gid = torch.tensor([0] * n1 + [1] * n2, dtype=torch.long)
+    bias = torch.tensor(rng.normal(size=(2 * heads, nmax, nmax)) * 0.3,
+                        dtype=torch.float32)
+    data = types.SimpleNamespace(x=x.clone(), batch=gid, attn_bias=bias)
+    with torch.no_grad():
+        out = layer(data)
+    return dict(x=x.numpy(), attn_bias=bias.numpy(),
+                graph_sizes=np.array([n1, n2]), out_x=out.x.numpy(),
+                state=_sd(layer))
+
+
 def _lappe_cfg(gym_cfg, d_pe, K):
     p = gym_cfg.posenc_LapPE
     p.dim_pe = d_pe
@@ -205,6 +265,8 @@ def main():
         "gatedgcn_es": case_gatedgcn(rng, True),
         "gine_es": case_gine_es(rng),
         "san_full": case_san_full(rng),
+        "san_block": case_san_block(rng),
+        "graphormer_layer": case_graphormer(rng),
         "lappe_deepset": case_lappe(rng, install, False),
         "lappe_train_bn": case_lappe(rng, install, True),
     }

@@ -70,6 +70,21 @@ def remove_self_loops(edge_index, edge_attr=None):
     return ei, (edge_attr[keep] if edge_attr is not None else None)
 
 
+def to_dense_batch(x, batch=None, fill_value=0.0):
+    """PyG to_dense_batch: (N, d) + graph ids → (B, Nmax, d) + real mask."""
+    if batch is None:
+        return x.unsqueeze(0), torch.ones(1, x.shape[0], dtype=torch.bool)
+    B = int(batch.max()) + 1
+    counts = torch.bincount(batch, minlength=B)
+    nmax = int(counts.max())
+    out = x.new_full((B, nmax) + tuple(x.shape[1:]), fill_value)
+    mask = torch.zeros(B, nmax, dtype=torch.bool)
+    pos = torch.cat([torch.arange(int(c)) for c in counts])
+    out[batch, pos] = x
+    mask[batch, pos] = True
+    return out, mask
+
+
 # --------------------------------------------------------------------------
 # MessagePassing with _i/_j suffix resolution
 
@@ -189,7 +204,8 @@ def install_stubs():
     # torch_geometric tree
     tg = mod("torch_geometric")
     utils = mod("torch_geometric.utils", scatter=scatter, degree=degree,
-                remove_self_loops=remove_self_loops)
+                remove_self_loops=remove_self_loops,
+                to_dense_batch=to_dense_batch)
     conv = mod("torch_geometric.nn.conv", MessagePassing=MessagePassing)
     inits = mod("torch_geometric.nn.inits", reset=_reset)
     pyg_nn = mod("torch_geometric.nn", Linear=torch.nn.Linear, conv=conv,
