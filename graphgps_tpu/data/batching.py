@@ -49,11 +49,17 @@ def choose_caps(graphs: Sequence[Graph], node_multiple: int = 8,
     """Pick static (max_nodes, max_edges-per-graph) caps for a dataset.
 
     Rounds the dataset maxima up to hardware-friendly multiples so all batches
-    from this dataset compile once.
+    from this dataset compile once. Large node caps are lane-aligned to 128 so
+    the Pallas flash-attention path can engage (requires N % 128 == 0) — this
+    policy lives HERE so every loader gets it, not just the driver (round 3:
+    the VOC bench silently ran dense XLA attention at N=504).
     """
     max_n = max((g.num_nodes for g in graphs), default=1)
     max_e = max((g.num_edges for g in graphs), default=1)
-    return round_up(max(max_n, 1), node_multiple), round_up(max(max_e, 1), edge_multiple)
+    n_cap = round_up(max(max_n, 1), node_multiple)
+    if n_cap >= 256:
+        n_cap = round_up(n_cap, 128)
+    return n_cap, round_up(max(max_e, 1), edge_multiple)
 
 
 @dataclasses.dataclass

@@ -248,7 +248,14 @@ class DeviceLoader:
         self.arenas = DeviceArenas(graphs, y_graph_level, edge_cap=edge_cap,
                                    compact=compact, pe_dtype=pe_dtype)
         self.batch_size = batch_size
-        self.max_nodes = max_nodes or round_up(self.arenas.max_nodes_raw, 8)
+        if max_nodes:
+            self.max_nodes = max_nodes
+        else:
+            self.max_nodes = round_up(self.arenas.max_nodes_raw, 8)
+            if self.max_nodes >= 256:
+                # lane-align so the flash-attention path can engage
+                # (choose_caps applies the same policy for host loaders)
+                self.max_nodes = round_up(self.max_nodes, 128)
         self.max_edges = batch_size * self.arenas.edge_cap
         self.shuffle = shuffle
         self.seed = seed
