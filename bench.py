@@ -140,17 +140,21 @@ def bench_scan(make_cfg, K=8, windows=5, groups=40):
     rng = np.random.default_rng(0)
     sel = jnp.asarray(rng.integers(0, n, size=(K, B)).astype(np.int32))
     key = L.run_key(cfg, 0)
-    # compiled-cost FLOPs for the K-step dispatch → per-step MFU (the
-    # driver-captured artifact must carry the MFU evidence, VERDICT r2 #1)
+    # ONE compile: AOT-lower the executable, read its cost analysis (→ MFU,
+    # VERDICT r2 #1) and run the SAME executable in the timed loop —
+    # jit.lower().compile() does not populate the jit dispatch cache, so
+    # calling `jitted` afterwards would compile the program a second time
+    # (round-3 review, verified on jax 0.9)
+    compiled = jitted.lower(tree, state, sel, key).compile()
+    multi = lambda st, sels, rng: compiled(tree, st, sels, rng)  # noqa: E731
     flops = None
     try:
-        cost = (jitted.lower(tree, state, sel, key).compile()
-                .cost_analysis())
+        cost = compiled.cost_analysis()
         if cost and "flops" in cost:
             flops = float(cost["flops"]) / K
     except Exception:
         pass
-    state, losses, *_ = multi(state, sel, key)  # compile (cached)
+    state, losses, *_ = multi(state, sel, key)  # warmup (same executable)
     jax.block_until_ready(losses)
     # edges per step from a representative sample of the arena
     e_cnt = np.asarray(loader.arenas.e_count)
@@ -259,21 +263,22 @@ def bench_shape(make_cfg, windows=5, iters=300):
     tx = make_tx(cfg)
     state = L.init_state(cfg, model, gb, 0, tx)
     raw_train = L._build_raw_steps(cfg, model, tx)["train"]
-    jitted = jax.jit(raw_train, donate_argnums=(0,))
     rng = L.run_key(cfg, 0)
 
-    # lower/compile through the SAME jitted callable so the warmup call reuses
-    # the executable (a separate jit here would compile every shape twice —
-    # minutes through the remote-compile tunnel)
+    # ONE compile: run the AOT executable directly (jit.lower().compile()
+    # does not populate the jit dispatch cache — round-3 review)
+    compiled = jax.jit(raw_train, donate_argnums=(0,)).lower(
+        state, gb, rng).compile()
+    jitted = compiled
     flops = None
     try:
-        cost = jitted.lower(state, gb, rng).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if cost and "flops" in cost:
             flops = float(cost["flops"])
     except Exception:
         pass
 
-    state, loss, _, _, _ = jitted(state, gb, rng)  # warmup (cached compile)
+    state, loss, _, _, _ = jitted(state, gb, rng)  # warmup (same executable)
     jax.block_until_ready(loss)
     ws = []
     for _ in range(windows):

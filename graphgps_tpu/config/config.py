@@ -146,6 +146,9 @@ def new_cfg() -> CfgNode:
         transductive=False,
         node_encoder=True, node_encoder_name="TypeDictNode",
         node_encoder_num_types=28, node_encoder_bn=False,
+        # GraphGym YAML-compat: accepted + warned-if-set, unused (encoder
+        # dims come from gnn.dim_inner / gt.dim_hidden) — validate_cfg
+        encoder_dim=128,
         edge_encoder=True, edge_encoder_name="TypeDictEdge",
         edge_encoder_num_types=4, edge_encoder_bn=False,
         slic_compactness=10,
@@ -430,6 +433,16 @@ def validate_cfg(cfg: CfgNode) -> None:
     if cfg.model.size_average not in ("mean", "sum"):
         raise ValueError(
             f"model.size_average={cfg.model.size_average!r}: use 'mean'/'sum'")
+    if cfg.dataset.encoder_dim != 128:
+        # accepted so dumped GraphGym YAMLs (which include every default)
+        # still load; this framework derives encoder dims from
+        # gnn.dim_inner / gt.dim_hidden like the reference's composed
+        # encoders, so the knob has no effect
+        import logging
+        logging.getLogger("graphgps_tpu").warning(
+            "dataset.encoder_dim=%s is accepted for GraphGym YAML compat "
+            "but unused: encoder dims come from gnn.dim_inner/gt.dim_hidden",
+            cfg.dataset.encoder_dim)
 
 
 def resolve_metric_best(cfg: CfgNode) -> str:

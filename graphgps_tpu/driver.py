@@ -98,11 +98,9 @@ def create_loaders(cfg: CfgNode, splits: DatasetSplits,
     """Per-split fixed-shape loaders; one (max_nodes, max_edges) cap across splits
     so every split compiles once."""
     y_graph_level = cfg.dataset.task == "graph"
+    # choose_caps lane-aligns large node caps (e.g. VOC 500→512) so the
+    # Pallas flash attention path can engage (the policy lives there)
     n_cap, e_cap = choose_caps(splits.all_graphs)
-    if n_cap >= 256:
-        # lane-align large node caps (e.g. VOC 500→512) so the Pallas flash
-        # attention path can engage (requires N % 128 == 0)
-        n_cap = round_up(n_cap, 128)
     max_nodes = cfg.dataset.max_nodes or n_cap
     bs = cfg.train.batch_size
     if data_parallel > 1:

@@ -179,12 +179,18 @@ class GPSLayer(nn.Module):
                         q[:, :gh], k[:, :gh], v[:, :gh], kmask, proj))
                 if lh > 0:
                     # bucketed local attention on the last lh heads
-                    # (reference performer_layer.py:455-459, 496-499)
+                    # (reference performer_layer.py:455-459, 496-499);
+                    # attn_dropout applies like the reference LocalAttention's
+                    # dropout arg
                     bucket = jnp.arange(N) // self.performer_local_window
                     band = jnp.abs(bucket[:, None] - bucket[None, :]) <= 1
                     bias = jnp.where(band, 0.0, -1e30)[None, None]
-                    outs_p.append(mha_core(q[:, gh:], k[:, gh:], v[:, gh:],
-                                           kmask, bias=bias))
+                    lrng = (self.make_rng("dropout")
+                            if train and self.attn_dropout > 0 else None)
+                    outs_p.append(mha_core(
+                        q[:, gh:], k[:, gh:], v[:, gh:], kmask, bias=bias,
+                        dropout_rate=self.attn_dropout if train else 0.0,
+                        dropout_rng=lrng))
                 o = outs_p[0] if len(outs_p) == 1 else jnp.concatenate(
                     outs_p, axis=1)
             elif gt == "BigBird":

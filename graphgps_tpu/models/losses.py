@@ -122,6 +122,17 @@ def compute_loss(cfg, pred, true, mask) -> jax.Array:
         name = "binary_cross_entropy"
     loss = loss_dict[name](pred, true, mask)
     if cfg.model.size_average == "sum":
-        # GraphGym reduction='sum' parity: undo the masked-mean reduction
-        loss = loss * mask.sum()
+        # GraphGym reduction='sum' parity: undo the masked-mean reduction by
+        # the loss's OWN element count (per-loss denominators differ —
+        # round-3 review)
+        if name in ("l1", "smooth_l1", "mse"):
+            d = 1 if true is None or true.ndim == 1 else int(true.shape[-1])
+            loss = loss * mask.sum() * d
+        elif name in ("cross_entropy", "binary_cross_entropy"):
+            loss = loss * mask.sum()
+        else:
+            raise ValueError(
+                f"model.size_average='sum' is not supported for "
+                f"{name!r}: its denominator is data-dependent "
+                "(NaN-filtered / class-weighted); use 'mean'")
     return loss

@@ -312,6 +312,9 @@ class PerformerNet(nn.Module):
                             num_heads=cfg.gt.n_heads, layer_index=li,
                             dropout=cfg.gt.dropout,
                             attn_dropout=cfg.gt.attn_dropout,
+                            # seed-distinct FAVOR+ projections, same as
+                            # GPSModel (round-2 VERDICT weak #7)
+                            performer_key_seed=7919 + int(cfg.get("seed", 0)),
                             performer_local_heads=cfg.gt.performer.local_attn_heads,
                             performer_local_window=cfg.gt.performer.local_window_size,
                             layer_norm=True, batch_norm=False)(
@@ -387,9 +390,12 @@ class CustomGNN(nn.Module):
                         "ginconv": lambda: GINLayer(dim=d, act=cfg.gnn.act)}[
                             lt]()
                 h, _ = conv(batch, x, e, train)
-                h = get_act(cfg.gnn.act)(h)
+                # GraphGym GeneralLayer post-layer order: BN → dropout → act
                 if cfg.gnn.batchnorm:
                     h = MaskedBatchNorm()(h, batch.node_mask, train)
+                h = nn.Dropout(cfg.gnn.dropout,
+                               deterministic=not train)(h)
+                h = get_act(cfg.gnn.act)(h)
                 x = x + h if residual else h
             else:  # gineconv and GINE-style conv stacks
                 x, e = GINELayer(dim=d, dropout=cfg.gnn.dropout,

@@ -273,24 +273,23 @@ def segment_softmax(scores: jax.Array, segment_ids: jax.Array, num_segments: int
     (/root/reference/graphgps/layer/san2_layer.py:11-33); masked lanes get 0.
 
     With the blocked layout (edge_block/max_nodes) the stabilizing shift is
-    the PER-GRAPH max — a free reshape+reduce instead of a segment-max — and
-    the result is still the EXACT softmax: softmax is invariant to any shift
-    that is constant within each segment, and a per-graph constant is
-    constant within every node segment of that graph. The denominator then
-    rides the blocked MXU segment-sum, so the whole softmax is scatter-free.
+    the PER-SEGMENT max computed scatter-free via the blocked select-reduce
+    (``_blocked_minmax``) and gathered back through the blocked MXU gather;
+    the denominator rides the blocked MXU segment-sum — no TPU scatter
+    anywhere. (A per-GRAPH shift is mathematically exact too but numerically
+    WRONG: exp(score − graph_max) underflows to 0 for segments sitting ≳88
+    below the graph max, collapsing their attention to zero — caught by the
+    round-3 code review; per-segment shift guarantees max-lane = 1.)
     """
     blocked = (_BLOCKED_SOFTMAX and edge_block and max_nodes
                and scores.shape[0] % edge_block == 0
                and num_segments == (scores.shape[0] // edge_block) * max_nodes
                and jnp.issubdtype(scores.dtype, jnp.floating))
     if blocked:
-        B = scores.shape[0] // edge_block
-        s = scores.reshape(B, edge_block, -1)
-        if mask is not None:
-            s = jnp.where(mask.reshape(B, edge_block)[..., None], s, -jnp.inf)
-        gmax = jax.lax.stop_gradient(s.max(axis=1, keepdims=True))
-        gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)  # all-masked graphs
-        shifted = (s - gmax).reshape(scores.shape)
+        smax = jax.lax.stop_gradient(_blocked_minmax(
+            scores, segment_ids, edge_block, max_nodes, mask, "max"))
+        shifted = scores - gather(smax, segment_ids, edge_block=edge_block,
+                                  max_nodes=max_nodes)
     else:
         smax = segment_max(scores, segment_ids, num_segments, mask)
         shifted = scores - smax[segment_ids]

@@ -217,3 +217,18 @@ def test_blocked_softmax_matches_global(rng):
             max_nodes=Nmax) ** 2).sum())(jnp.array(scores))
         np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_blocked_softmax_no_underflow_across_segments(rng):
+    """Per-graph-max shifting underflows segments sitting ≳88 below the graph
+    max (round-3 review); the per-segment blocked shift must not."""
+    from graphgps_tpu.ops.segment import segment_softmax
+
+    B, Ecap, Nmax = 1, 4, 4
+    # node 0 gets two edges with huge scores; node 1 two edges far below
+    ids = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    scores = jnp.asarray([100.0, 100.0, 0.0, 0.0], jnp.float32)
+    mask = jnp.ones(4, bool)
+    out = np.asarray(segment_softmax(scores, ids, B * Nmax, mask,
+                                     edge_block=Ecap, max_nodes=Nmax))
+    np.testing.assert_allclose(out, [0.5, 0.5, 0.5, 0.5], rtol=1e-5)
