@@ -480,6 +480,123 @@ def read_tudataset_raw(root: str, name: str) -> Optional[List[Graph]]:
 
 
 # ---------------------------------------------------------------------------
+# SMILES-table datasets: LRGB Peptides (functional/structural), PCQM4Mv2 raw
+# (reference peptides_functional.py:91-116, peptides_structural.py:101-135 —
+# there via rdkit's smiles2graph; here via the pure-Python ``smiles`` module)
+# ---------------------------------------------------------------------------
+
+_PEPTIDES_LAYOUT = {
+    "functional": ("peptides-functional", "peptide_multi_class_dataset.csv.gz",
+                   "splits_random_stratified_peptide.pickle"),
+    "structural": ("peptides-structural",
+                   "peptide_structure_normalized_dataset.csv.gz",
+                   "splits_random_stratified_peptide_structure.pickle"),
+}
+
+# the 11 normalized regression targets, in the reference's column order
+# (peptides_structural.py:105-108)
+PEPTIDES_STRUCT_TARGETS = (
+    "Inertia_mass_a", "Inertia_mass_b", "Inertia_mass_c",
+    "Inertia_valence_a", "Inertia_valence_b", "Inertia_valence_c",
+    "length_a", "length_b", "length_c", "Spherocity", "Plane_best_fit")
+
+
+def _graph_from_smiles(smi: str, y: np.ndarray) -> Graph:
+    from .smiles import smiles_to_graph
+
+    g = smiles_to_graph(smi)
+    return Graph(node_feat=g["node_feat"], edge_index=g["edge_index"],
+                 edge_feat=g["edge_feat"], y=y)
+
+
+def read_peptides_raw(root: str, kind: str) -> Optional[Dict[str, List[Graph]]]:
+    """LRGB Peptides from the genuine upstream raw layout:
+    ``<root>/peptides-<kind>/raw/<csv.gz>`` (a SMILES table) plus the
+    stratified split pickle next to ``raw/``. Graphs are built by the
+    in-repo SMILES parser (OGB featurization, no rdkit needed) and memoized
+    to ``processed_graphgps_tpu.npz`` in the dataset folder so the parse
+    happens once, like the reference's ``process()``.
+    """
+    folder, csv_name, split_name = _PEPTIDES_LAYOUT[kind]
+    base = os.path.join(root, folder)
+    csv_path = os.path.join(base, "raw", csv_name)
+    split_path = os.path.join(base, split_name)
+    if not (os.path.exists(csv_path) and os.path.exists(split_path)):
+        return None
+
+    cache = os.path.join(base, "processed_graphgps_tpu.npz")
+    graphs: Optional[List[Graph]] = None
+    if os.path.exists(cache) and \
+            os.path.getmtime(cache) >= os.path.getmtime(csv_path):
+        z = np.load(cache, allow_pickle=True)
+        graphs = [Graph(node_feat=r["x"], edge_index=r["edge_index"],
+                        edge_feat=r["edge_attr"], y=r["y"])
+                  for r in z["graphs"]]
+    if graphs is None:
+        import ast
+
+        import pandas as pd
+
+        df = pd.read_csv(csv_path)
+        if kind == "functional":
+            ys = [np.asarray(ast.literal_eval(lab), np.float32)
+                  for lab in df["labels"]]
+        else:
+            ys = list(np.asarray(df[list(PEPTIDES_STRUCT_TARGETS)],
+                                 np.float32))
+        graphs = [_graph_from_smiles(smi, y)
+                  for smi, y in zip(df["smiles"], ys)]
+        recs = np.empty(len(graphs), dtype=object)
+        for i, g in enumerate(graphs):
+            recs[i] = dict(x=g.node_feat, edge_index=g.edge_index,
+                           edge_attr=g.edge_feat, y=g.y)
+        try:
+            np.savez_compressed(cache, graphs=recs)
+        except OSError:  # read-only dataset dir: parse again next run
+            pass
+
+    with open(split_path, "rb") as f:
+        split = pickle.load(f)
+    return {out_key: [graphs[i]
+                      for i in _to_np(split[in_key]).astype(np.int64).ravel()]
+            for out_key, in_key in
+            (("train", "train"), ("val", "val"), ("test", "test"))}
+
+
+def read_pcqm4m_raw_csv(root: str) -> Optional[List[Graph]]:
+    """OGB-LSC PCQM4Mv2 ``pcqm4m-v2/raw/data.csv.gz`` (smiles, homolumogap —
+    NaN gaps for the held-out test molecules). The full 3.7M-row table takes
+    a while in pure Python (~10⁴ mol/s); the ``processed.npz`` cache
+    (tools/export_cache.py) is preferred and this is the no-rdkit fallback,
+    memoized the same way as the Peptides raw path."""
+    csv_path = os.path.join(root, "pcqm4m-v2", "raw", "data.csv.gz")
+    if not os.path.exists(csv_path):
+        return None
+    cache = os.path.join(root, "pcqm4m-v2", "processed_graphgps_tpu.npz")
+    if os.path.exists(cache) and \
+            os.path.getmtime(cache) >= os.path.getmtime(csv_path):
+        z = np.load(cache, allow_pickle=True)
+        return [Graph(node_feat=r["x"], edge_index=r["edge_index"],
+                      edge_feat=r["edge_attr"], y=r["y"])
+                for r in z["graphs"]]
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    graphs = [_graph_from_smiles(
+        smi, np.asarray([gap], np.float32))
+        for smi, gap in zip(df["smiles"], df["homolumogap"])]
+    recs = np.empty(len(graphs), dtype=object)
+    for i, g in enumerate(graphs):
+        recs[i] = dict(x=g.node_feat, edge_index=g.edge_index,
+                       edge_attr=g.edge_feat, y=g.y)
+    try:
+        np.savez_compressed(cache, graphs=recs)
+    except OSError:
+        pass
+    return graphs
+
+
+# ---------------------------------------------------------------------------
 # PCQM4Mv2 split dictionary
 # ---------------------------------------------------------------------------
 

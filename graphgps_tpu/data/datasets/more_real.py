@@ -5,9 +5,9 @@ Capability analogs of /root/reference/graphgps/loader/dataset/* and the
 preformat_* family (master_loader.py:256-613). Each loader first parses the
 genuine upstream raw layout (see ``io_formats``), then a legacy npz cache, and
 falls back to a statistics-matched synthetic dataset when neither is present
-(no network egress here). Peptides remains an npz cache: its upstream raw is a
-SMILES table whose graph construction requires rdkit, a host-side
-preprocessing dependency per SURVEY §2.9 (see tools/export_cache.py).
+(no network egress here). Peptides parses either an npz cache
+(tools/export_cache.py) or the genuine upstream raw SMILES table via the
+in-repo pure-Python OGB featurizer (``smiles.py`` — no rdkit needed).
 """
 from __future__ import annotations
 
@@ -96,6 +96,10 @@ def peptides_functional(cfg) -> DatasetSplits:
     ds = _npz_splits(os.path.join(cfg.dataset.dir, "peptides-functional.npz"))
     if ds is not None:
         return ds
+    raw = io_formats.read_peptides_raw(cfg.dataset.dir, "functional")
+    if raw is not None:
+        return DatasetSplits(train=raw["train"], val=raw["val"],
+                             test=raw["test"], meta={})
     _fallback_warn(cfg, "peptides-functional")
     return _synthetic_molecular(cfg, 10, "classification_multilabel")
 
@@ -107,6 +111,10 @@ def peptides_structural(cfg) -> DatasetSplits:
     ds = _npz_splits(os.path.join(cfg.dataset.dir, "peptides-structural.npz"))
     if ds is not None:
         return ds
+    raw = io_formats.read_peptides_raw(cfg.dataset.dir, "structural")
+    if raw is not None:
+        return DatasetSplits(train=raw["train"], val=raw["val"],
+                             test=raw["test"], meta={})
     _fallback_warn(cfg, "peptides-structural")
     return _synthetic_molecular(cfg, 11, "regression")
 

@@ -130,23 +130,32 @@ def _load_pcqm4mv2(cfg, mode: str) -> DatasetSplits:
     - ``inference``: [official valid, test-dev, test-challenge] with NaN-ness
       assertions on the held-out targets.
 
-    Graph structures come from the smiles2graph-preprocessed npz cache
-    (molecule graphs require rdkit, a host-side preprocessing dependency per
-    SURVEY §2.9); the official ``split_dict.pt`` is parsed directly.
+    Graph structures come from the smiles2graph-preprocessed npz cache when
+    present, else from the official raw SMILES CSV via the in-repo
+    pure-Python OGB featurizer (io_formats.read_pcqm4m_raw_csv); the
+    official ``split_dict.pt`` is parsed directly.
     """
     path = os.path.join(cfg.dataset.dir, "pcqm4m-v2", "processed.npz")
-    if not os.path.exists(path):
-        return _fallback(cfg, "zinc-like")
-    z = np.load(path, allow_pickle=True)
-    graphs = [Graph(node_feat=r["x"], edge_index=r["edge_index"],
-                    edge_feat=r["edge_attr"],
-                    y=np.asarray(r["y"], np.float32).reshape(-1))
-              for r in z["graphs"]]
+    z = None
+    if os.path.exists(path):
+        z = np.load(path, allow_pickle=True)
+        graphs = [Graph(node_feat=r["x"], edge_index=r["edge_index"],
+                        edge_feat=r["edge_attr"],
+                        y=np.asarray(r["y"], np.float32).reshape(-1))
+                  for r in z["graphs"]]
+    else:
+        graphs = io_formats.read_pcqm4m_raw_csv(cfg.dataset.dir)
+        if graphs is None:
+            return _fallback(cfg, "zinc-like")
 
     split = io_formats.read_pcqm4m_split_dict(cfg.dataset.dir)
-    if split is None:
+    if split is None and z is not None and "split" in z.files:
         split = {k: np.asarray(v, np.int64).ravel()
                  for k, v in z["split"].item().items()}
+    if split is None:
+        raise FileNotFoundError(
+            "PCQM4Mv2 graphs found but no split_dict.pt (or cached split) "
+            f"under {cfg.dataset.dir}/pcqm4m-v2")
     # tolerate partial caches: keep only indices the cache actually holds
     n = len(graphs)
     split = {k: v[v < n] for k, v in split.items()}

@@ -688,3 +688,113 @@ def test_ogbl_raw(cfg):
     # train negatives sampled, int labels, validity mask present
     assert g_tr.extras["edge_label"].dtype == np.int64
     assert "edge_label_mask" in g_tr.extras
+
+
+# ---------------------------------------------------------------------------
+# LRGB Peptides raw SMILES table (reference peptides_functional.py:91-116)
+# ---------------------------------------------------------------------------
+
+_PEPTIDE_SMILES = [
+    "C[C@H](N)C(=O)O",                       # alanine
+    "N[C@@H](Cc1ccccc1)C(=O)O",              # phenylalanine
+    "NCC(=O)N[C@@H](CO)C(=O)[O-]",           # gly-ser anion
+    "OC(=O)[C@@H]1CCCN1",                    # proline
+    "C[C@H](N)C(=O)N[C@@H](Cc1ccccc1)C(=O)O",  # Ala-Phe dipeptide
+    "NC(=[NH2+])NCCC[C@H](N)C(=O)O",         # arginine (guanidinium)
+]
+
+
+def _write_peptides_raw(root, kind):
+    import gzip as _gz
+    folder, csv_name, split_name = {
+        "functional": ("peptides-functional",
+                       "peptide_multi_class_dataset.csv.gz",
+                       "splits_random_stratified_peptide.pickle"),
+        "structural": ("peptides-structural",
+                       "peptide_structure_normalized_dataset.csv.gz",
+                       "splits_random_stratified_peptide_structure.pickle"),
+    }[kind]
+    base = os.path.join(root, folder)
+    os.makedirs(os.path.join(base, "raw"))
+    rng = np.random.default_rng(3)
+    if kind == "functional":
+        header = "smiles,labels,peptide_seq\n"
+        rows = [f'"{s}","{[int(v) for v in rng.random(10) > .5]}",SEQ\n'
+                for s in _PEPTIDE_SMILES]
+    else:
+        cols = ["Inertia_mass_a", "Inertia_mass_b", "Inertia_mass_c",
+                "Inertia_valence_a", "Inertia_valence_b", "Inertia_valence_c",
+                "length_a", "length_b", "length_c", "Spherocity",
+                "Plane_best_fit"]
+        header = "smiles," + ",".join(cols) + "\n"
+        rows = [f'"{s}",' + ",".join(f"{v:.4f}" for v in rng.normal(size=11))
+                + "\n" for s in _PEPTIDE_SMILES]
+    with _gz.open(os.path.join(base, "raw", csv_name), "wt") as f:
+        f.write(header)
+        f.writelines(rows)
+    split = {"train": np.array([0, 1, 2, 3]), "val": np.array([4]),
+             "test": np.array([5])}
+    with open(os.path.join(base, split_name), "wb") as f:
+        pickle.dump(split, f)
+
+
+@pytest.mark.parametrize("kind,fmt_name,ydim", [
+    ("functional", "peptides-functional", 10),
+    ("structural", "peptides-structural", 11),
+])
+def test_peptides_raw_smiles(cfg, kind, fmt_name, ydim):
+    from graphgps_tpu.data.datasets.base import load_dataset
+
+    _write_peptides_raw(cfg.dataset.dir, kind)
+    cfg.dataset.format, cfg.dataset.name = "OGB", fmt_name
+    ds = load_dataset(cfg)
+    assert [len(ds.train), len(ds.val), len(ds.test)] == [4, 1, 1]
+    g = ds.train[0]                       # alanine: 6 heavy atoms, 5 bonds
+    assert g.node_feat.shape == (6, 9) and g.edge_index.shape == (2, 10)
+    assert g.edge_feat.shape == (10, 3)
+    assert g.y.shape == (ydim,) and g.y.dtype == np.float32
+    if kind == "functional":
+        assert set(np.unique(g.y)) <= {0.0, 1.0}
+    # phenylalanine: aromatic ring present, chiral center tagged
+    g2 = ds.train[1]
+    assert (g2.node_feat[:, 7] == 1).sum() == 6
+    assert (g2.node_feat[:, 1] > 0).sum() == 1
+    # parse is memoized next to the raw data like the reference's process()
+    assert os.path.exists(os.path.join(
+        cfg.dataset.dir, f"peptides-{kind}", "processed_graphgps_tpu.npz"))
+    ds2 = load_dataset(cfg)               # second load comes from the cache
+    np.testing.assert_array_equal(ds2.train[0].node_feat, g.node_feat)
+    np.testing.assert_array_equal(ds2.train[0].y, g.y)
+
+
+def test_pcqm4mv2_raw_smiles_csv(cfg):
+    import gzip as _gz
+
+    from graphgps_tpu.data.datasets.real import _load_pcqm4mv2
+
+    base = os.path.join(cfg.dataset.dir, "pcqm4m-v2")
+    os.makedirs(os.path.join(base, "raw"))
+    n = 24
+    rng = np.random.default_rng(5)
+    smis = [_PEPTIDE_SMILES[i % len(_PEPTIDE_SMILES)] for i in range(n)]
+    with _gz.open(os.path.join(base, "raw", "data.csv.gz"), "wt") as f:
+        f.write("idx,smiles,homolumogap\n")
+        for i, s in enumerate(smis):
+            gap = "" if i >= n - 4 else f"{rng.random():.4f}"  # held-out NaN
+            f.write(f'{i},"{s}",{gap}\n')
+    split = {"train": torch.arange(0, 16), "valid": torch.arange(16, 20),
+             "test-dev": torch.arange(20, 22),
+             "test-challenge": torch.arange(22, 24)}
+    torch.save(split, os.path.join(base, "split_dict.pt"))
+
+    import graphgps_tpu.data.datasets.real as real_mod
+    old = real_mod.PCQM_CUSTOM_VALID
+    real_mod.PCQM_CUSTOM_VALID = 4
+    try:
+        ds = _load_pcqm4mv2(cfg, "full")
+        assert len(ds.train) == 12 and len(ds.val) == 4 and len(ds.test) == 4
+        assert all(np.isfinite(g.y).all() for g in ds.train)
+        ds_inf = _load_pcqm4mv2(cfg, "inference")
+        assert all(np.isnan(g.y[0]) for g in ds_inf.val + ds_inf.test)
+    finally:
+        real_mod.PCQM_CUSTOM_VALID = old
