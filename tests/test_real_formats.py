@@ -798,3 +798,27 @@ def test_pcqm4mv2_raw_smiles_csv(cfg):
         assert all(np.isnan(g.y[0]) for g in ds_inf.val + ds_inf.test)
     finally:
         real_mod.PCQM_CUSTOM_VALID = old
+
+
+def test_peptides_func_config_trains_on_raw_smiles(tmp_path):
+    """The real peptides-func-GPS recipe (Atom+LapPE encoders, multilabel BCE,
+    AP metric) trains end-to-end on graphs built by the pure-Python SMILES
+    parser — the full raw→featurize→PE-precompute→train path with no rdkit."""
+    import json
+
+    from graphgps_tpu.driver import main
+
+    _write_peptides_raw(str(tmp_path), "functional")
+    main(["--cfg", "configs/GPS/peptides-func-GPS.yaml",
+          "out_dir", str(tmp_path / "out"),
+          "dataset.dir", str(tmp_path),
+          "dataset.synthetic_fallback", "False",
+          "train.enable_ckpt", "False",
+          "train.batch_size", "2",
+          "gt.layers", "1", "gt.dim_hidden", "16", "gt.n_heads", "2",
+          "gnn.dim_inner", "16", "gnn.layers_post_mp", "1",
+          "posenc_LapPE.dim_pe", "4", "posenc_LapPE.eigen.max_freqs", "4",
+          "optim.max_epoch", "2", "optim.num_warmup_epochs", "1"])
+    stats = tmp_path / "out" / "peptides-func-GPS" / "0" / "val" / "stats.json"
+    rows = [json.loads(l) for l in stats.read_text().splitlines()]
+    assert "ap" in rows[-1] and np.isfinite(rows[-1]["loss"])
