@@ -186,7 +186,8 @@ def _parse_bracket(s: str, i: int) -> Tuple[dict, int]:
         k += 1
     out["isotope"] = int(n) if n else 0
     # element symbol: two-letter first ([Cl] vs [C]), aromatic lowercase forms
-    sym2, sym1 = body[k:k + 2], body[k:k + 1]
+    sym2 = body[k:k + 2] if len(body) - k >= 2 else ""
+    sym1 = body[k:k + 1]
     if sym2 in ("se", "as", "te"):
         out["symbol"], out["aromatic"] = sym2.capitalize(), True
         k += 2

@@ -210,3 +210,38 @@ def test_peptide_scale_smoke():
     assert (x[:, 7] == 1).sum() == 6                    # benzene ring
     assert ef[:, 2].sum() >= 2 * 8                      # conjugated system
     assert x[:, 0].max() == 7 and x[:, 0].min() == 5    # C,N,O only
+
+
+REAL_WORLD = [
+    "Cn1c(=O)c2c(ncn2C)n(C)c1=O",                 # caffeine
+    "CC(=O)Oc1ccccc1C(=O)O",                      # aspirin
+    "CN1CCC[C@H]1c1cccnc1",                       # nicotine
+    "O=[N+]([O-])c1ccccc1",                       # nitrobenzene
+    "NS(=O)(=O)c1ccccc1",                         # benzenesulfonamide
+    "OP(=O)(O)OC",                                # methyl phosphate
+    "N[C@@H](Cc1c[nH]cn1)C(=O)O",                 # histidine
+    "N[C@@H](Cc1c[nH]c2ccccc12)C(=O)O",           # tryptophan (fused)
+    "N[C@@H](CSSC[C@H](N)C(=O)O)C(=O)O",          # cystine disulfide
+    "c1ccc2ncccc2c1",                             # quinoline
+    "CN=[N+]=[N-]",                               # methyl azide
+    "[13C]([2H])([2H])[2H]",                      # isotopes
+    "c1nnn[nH]1",                                 # tetrazole
+    "c1cc[nH+]cc1",                               # pyridinium
+    "C1CC1C1CC1",                                 # ring-digit reuse
+    "CC(/C=C/C)=O",                               # stereo in branch context
+    "c1cc[se]c1",                                 # selenophene
+    "[NH4+].[Cl-]",                               # salt
+]
+
+
+@pytest.mark.parametrize("smi", REAL_WORLD)
+def test_real_world_battery(smi):
+    """Crash-free, structurally sane parse of common real-world motifs."""
+    g = smiles_to_graph(smi)
+    x, ei = g["node_feat"], g["edge_index"]
+    assert x.shape[1] == 9 and (x >= 0).all()
+    assert x[:, 0].max() <= 118 and x[:, 2].max() <= 11
+    if ei.size:
+        assert ei.max() < g["num_nodes"]
+    # aromatic atoms and ring flags only ever co-occur
+    assert (x[:, 7] <= x[:, 8]).all()
