@@ -17,6 +17,16 @@ import jax  # noqa: E402
 # config API is authoritative. Must run before any backend initialization.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeated suite runs (and re-runs of single
+# files while iterating) skip XLA CPU recompiles, which dominate test time.
+# Keyed on HLO hash, so code changes invalidate safely; concurrent writers
+# (tools/ptest.sh) are fine (atomic renames). Separate dir from the TPU cache.
+_cache_dir = os.environ.get("GRAPHGPS_TPU_TEST_CACHE",
+                            os.path.expanduser("~/.cache/jax_pytest_cpu"))
+if _cache_dir != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
