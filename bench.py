@@ -11,13 +11,20 @@ Metric: edges/sec/chip through the full jitted training step on the flagship
 GPS model (GINE+Transformer, RWSE-20, 10 layers, dim 64 — the reference's ZINC
 recipe, /root/reference/configs/GPS/zinc-GPS+RWSE.yaml) at batch size 32.
 
-Methodology: after one compile/warmup step, time 5 windows of 300 steps and
-take the MIN window: the axon TPU tunnel exhibits occasional multi-ms latency
-spikes unrelated to device time, so the fastest window is the best estimator
-of device capability (bench_scaling.py reports the median instead; both are
-recorded in docs/RESULTS.md with this caveat). MFU: XLA's compiled
-cost-analysis FLOPs / step time / v5e bf16 peak (197 TFLOP/s); on f32 runs the
-MXU still executes bf16 passes, so the same peak is the honest denominator.
+Methodology: after one compile/warmup step, time windows of many enqueued
+steps and take the MIN window. Every window ends with a HARD DRAIN — a
+host fetch of the last loss value — never ``jax.block_until_ready``:
+through the axon tunnel, block_until_ready can return while queued
+executables are still running (measured round 3: a 17 ms/step workload
+"timed" at 2.4 ms because the queue never drained), which silently turns a
+throughput benchmark into an enqueue-rate benchmark. The fetch costs one
+~30 ms tunnel round-trip per window, amortized across the window's steps
+and subtracted via the measured RTT. Ground truth was cross-checked against
+the TPU's own trace clock (tools/device_time.py, "XLA Modules" lane):
+bench and device-clock agree within ~5% on every stage after this fix.
+MFU: XLA's compiled cost-analysis FLOPs / step time / v5e bf16 peak
+(197 TFLOP/s); on f32 runs the MXU still executes bf16 passes, so the same
+peak is the honest denominator.
 
 Baseline: the reference is PyTorch+PyG on one A100. The repo publishes no
 throughput numbers (SURVEY.md §6); from the reference's own wall-clock
@@ -35,6 +42,35 @@ import time
 import numpy as np
 
 V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak per chip
+
+
+def _drain(x):
+    """Force TRUE completion of everything enqueued before ``x`` by fetching
+    one element to the host. jax.block_until_ready is NOT sufficient through
+    the axon tunnel (it can return with the queue still executing — measured,
+    see module docstring); a device→host value read is."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+    return x
+
+
+def _measure_rtt():
+    """Median cost of one drained no-op dispatch — the per-window constant
+    the tunnel adds on top of device time."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda a: a + 1.0)
+    x = jnp.zeros((8,), jnp.float32)
+    _drain(f(x))
+    ts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        _drain(f(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
 
 
 def _zinc_cfg(new_cfg):
@@ -155,7 +191,8 @@ def bench_scan(make_cfg, K=8, windows=5, groups=40):
     except Exception:
         pass
     state, losses, *_ = multi(state, sel, key)  # warmup (same executable)
-    jax.block_until_ready(losses)
+    _drain(losses)
+    rtt = _measure_rtt()
     # edges per step from a representative sample of the arena
     e_cnt = np.asarray(loader.arenas.e_count)
     real_edges = float(e_cnt[np.asarray(sel).reshape(-1)].sum()) / K
@@ -165,8 +202,8 @@ def bench_scan(make_cfg, K=8, windows=5, groups=40):
         t0 = time.perf_counter()
         for g in range(groups):
             state, losses, *_ = multi(state, sel, jax.random.fold_in(key, g))
-        jax.block_until_ready(losses)
-        ws.append((time.perf_counter() - t0) / (groups * K))
+        _drain(losses)
+        ws.append((time.perf_counter() - t0 - rtt) / (groups * K))
     step_s = min(ws)
     out = dict(step_ms=round(step_s * 1e3, 4),
                edges_per_sec=round(real_edges / step_s, 1),
@@ -219,7 +256,8 @@ def bench_zinc_multiseed(S=4, K=8, windows=4, groups=20):
     base_key = L.run_key(cfg, 0)
     keys = jax.vmap(lambda s: jax.random.fold_in(base_key, s))(jnp.arange(S))
     state, losses, *_ = multi(state, sel, keys)  # compile
-    jax.block_until_ready(losses)
+    _drain(losses)
+    rtt = _measure_rtt()
     e_cnt = np.asarray(loader.arenas.e_count)
     real_edges = float(e_cnt[np.asarray(sel).reshape(-1)].sum()) / K  # all S
 
@@ -230,8 +268,8 @@ def bench_zinc_multiseed(S=4, K=8, windows=4, groups=20):
             state, losses, *_ = multi(
                 state, sel, jax.vmap(lambda kk: jax.random.fold_in(kk, g))(
                     keys))
-        jax.block_until_ready(losses)
-        ws.append((time.perf_counter() - t0) / (groups * K))
+        _drain(losses)
+        ws.append((time.perf_counter() - t0 - rtt) / (groups * K))
     step_s = min(ws)
     return dict(step_ms=round(step_s * 1e3, 4),
                 edges_per_sec=round(real_edges / step_s, 1),
@@ -279,15 +317,16 @@ def bench_shape(make_cfg, windows=5, iters=300):
         pass
 
     state, loss, _, _, _ = jitted(state, gb, rng)  # warmup (same executable)
-    jax.block_until_ready(loss)
+    _drain(loss)
+    rtt = _measure_rtt()
     ws = []
     for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(iters):
             rng, sub = jax.random.split(rng)
             state, loss, _, _, _ = jitted(state, gb, sub)
-        jax.block_until_ready(loss)
-        ws.append((time.perf_counter() - t0) / iters)
+        _drain(loss)
+        ws.append((time.perf_counter() - t0 - rtt) / iters)
     step_s = min(ws)  # min-window = device capability; spikes are
     # environmental (tunnel), not workload — see docs/RESULTS.md caveats
     out = dict(step_ms=round(step_s * 1e3, 3),

@@ -68,14 +68,16 @@ def main():
 
         rng = jax.random.PRNGKey(0)
         state, loss, *_ = train_step(state, gb, rng)
-        jax.block_until_ready(loss)
+        # hard drain — block_until_ready can return early through the axon
+        # tunnel (see bench.py module docstring)
+        np.asarray(jax.device_get(loss)).ravel()[:1]
         windows = []
         for _ in range(4):
             t0 = time.perf_counter()
             for _ in range(50):
                 rng, sub = jax.random.split(rng)
                 state, loss, *_ = train_step(state, gb, sub)
-            jax.block_until_ready(loss)
+            np.asarray(jax.device_get(loss)).ravel()[:1]
             windows.append((time.perf_counter() - t0) / 50)
         step_s = sorted(windows)[len(windows) // 2]
         eps_chip = real_edges / step_s / n

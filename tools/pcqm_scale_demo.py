@@ -85,7 +85,7 @@ def main():
 
     t0 = time.perf_counter()
     loader = DeviceLoader(graphs, batch_size=B, pe_dtype="bfloat16")
-    jax.block_until_ready(loader.arenas.node_feat)
+    np.asarray(jax.device_get(loader.arenas.node_feat)).ravel()[:1]  # hard drain
     build_s = time.perf_counter() - t0
     hbm_mb = loader.hbm_bytes() / 1e6
     print(f"[scale] arenas built+uploaded in {build_s:.1f}s: {hbm_mb:.0f} MB "
@@ -124,7 +124,7 @@ def main():
     sel = jnp.asarray(rng.integers(0, G, (K, B)).astype(np.int32))
     t0 = time.perf_counter()
     state, losses, *_ = multi(state, sel, key)
-    jax.block_until_ready(losses)
+    np.asarray(jax.device_get(losses)).ravel()[:1]  # hard drain (bench.py docstring)
     compile_s = time.perf_counter() - t0
 
     windows, groups = 4, 8
@@ -134,7 +134,7 @@ def main():
         for g in range(groups):
             sel = jnp.asarray(rng.integers(0, G, (K, B)).astype(np.int32))
             state, losses, *_ = multi(state, sel, jax.random.fold_in(key, g))
-        jax.block_until_ready(losses)
+        np.asarray(jax.device_get(losses)).ravel()[:1]  # hard drain (bench.py docstring)
         ws.append((time.perf_counter() - t0) / (groups * K))
     step_s = min(ws)
     steps_per_epoch_full = PCQM_FULL_G / B

@@ -93,6 +93,24 @@ def main():
         state, losses, *_ = jitted(tree, state, sel, jax.random.fold_in(key, g))
     jax.block_until_ready(losses)
 
+    # Untraced wall measurement with a HARD DRAIN (device→host fetch):
+    # jax.block_until_ready can return early through the axon tunnel (see
+    # bench.py docstring), so we fetch a value and subtract the measured
+    # tunnel round-trip. Cross-checks the traced device clock below.
+    import time as _time
+    trivial = jax.jit(lambda a: a + 1.0)
+    np.asarray(jax.device_get(trivial(jnp.zeros((8,)))))
+    t0 = _time.perf_counter()
+    np.asarray(jax.device_get(trivial(jnp.zeros((8,)))))
+    rtt = _time.perf_counter() - t0
+    reps = 3
+    t0 = _time.perf_counter()
+    for g in range(reps):
+        state, losses, *_ = jitted(tree, state, sel,
+                                   jax.random.fold_in(key, 50 + g))
+    np.asarray(jax.device_get(losses)).ravel()[:1]
+    untraced_ms = (_time.perf_counter() - t0 - rtt) / (reps * K) * 1e3
+
     prof_dir = f"/tmp/ggps_profile_{stage}_{K}"
     os.system(f"rm -rf {prof_dir}")
     with jax.profiler.trace(prof_dir):
@@ -113,6 +131,13 @@ def main():
             proc[e["pid"]] = e["args"].get("name", "")
     dev_pids = {p for p, nm in proc.items()
                 if "TPU" in nm or "/device" in nm.lower()}
+    # restrict to the "XLA Ops" lane; the "XLA Modules"/"Steps" lanes (and
+    # their numeric-named duplicates inside the ops lane) are whole-dispatch
+    # rollups that would double-count everything
+    thr = {}
+    for e in ev:
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            thr[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     agg = defaultdict(lambda: [0.0, 0])          # per HLO instruction
     byc = defaultdict(lambda: [0.0, 0])          # per source component
     total = 0.0
@@ -120,9 +145,14 @@ def main():
     for e in ev:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
+        lane = thr.get((e["pid"], e.get("tid")), "")
+        if lane and "XLA Ops" not in lane:
+            continue
         name = e["name"]
-        if name.startswith("jit_") or name.startswith("while"):
-            continue  # rollups
+        if name.startswith("jit_") or name.startswith("while") or \
+                name.replace(".", "").isdigit():
+            continue  # rollups (module executions mirror into the ops lane
+            # as bare-numeric names)
         dur = float(e.get("dur", 0.0))
         agg[name][0] += dur
         agg[name][1] += 1
@@ -132,20 +162,25 @@ def main():
 
     print(f"\n=== {stage} K={K}: device events over {nsteps} steps ===")
     nk = sum(c for _, c in agg.values())
-    print(f"total device time {total / 1e3 / nsteps:.4f} ms/step,"
-          f" {nk / nsteps:.0f} events/step")
-    print("\n-- by source component --")
-    print(f"{'us/step':>9} {'evts/step':>9}  component")
+    print(f"untraced step time {untraced_ms:.4f} ms/step (drained wall);"
+          f" traced ops sum {total / 1e3 / nsteps:.4f} ms/step (device clock"
+          " — ops can overlap, so the sum may exceed elapsed device time)")
+    scale = untraced_ms * 1e3 / total * nsteps if total else 0.0
+    print(f"{nk / nsteps:.0f} events/step")
+    print("\n-- by source component (scaled to untraced step) --")
+    print(f"{'share%':>7} {'~us/step':>9} {'evts/step':>9}  component")
     for comp, (dur, cnt) in sorted(byc.items(), key=lambda kv: -kv[1][0])[:30]:
-        print(f"{dur / nsteps:9.2f} {cnt / nsteps:9.1f}  {comp}")
+        print(f"{dur / total * 100:7.2f} {dur / nsteps * scale:9.2f}"
+              f" {cnt / nsteps:9.1f}  {comp}")
     print("\n-- top HLO instructions --")
-    print(f"{'us/step':>9} {'calls':>6} {'us/call':>8}  name | source")
+    print(f"{'share%':>7} {'~us/step':>9} {'calls':>6}  name | source")
     rows = sorted(agg.items(), key=lambda kv: -kv[1][0])
     for name, (dur, cnt) in rows[:30]:
-        print(f"{dur / nsteps:9.2f} {cnt:6d} {dur / cnt:8.2f}  "
-              f"{name[:40]} | {src_of.get(name, '')[-70:]}")
+        print(f"{dur / total * 100:7.2f} {dur / nsteps * scale:9.2f}"
+              f" {cnt:6d}  {name[:40]} | {src_of.get(name, '')[-70:]}")
     print(json.dumps({"stage": stage, "K": K,
-                      "device_ms_per_step": round(total / 1e3 / nsteps, 4),
+                      "untraced_ms_per_step": round(untraced_ms, 4),
+                      "traced_ops_ms_per_step": round(total / 1e3 / nsteps, 4),
                       "events_per_step": round(nk / nsteps, 1)}))
 
 
