@@ -235,9 +235,11 @@ def new_cfg() -> CfgNode:
         full_graph=True, gamma=1e-5, gamma_learnable=False,
         pna_degrees=[], dropout=0.0, attn_dropout=0.0,
         layer_norm=False, batch_norm=True, residual=True,
-        # dense-attention implementation: auto (flash dispatch by size),
-        # dense (force XLA MHA), ring (node-axis sequence parallelism over the
-        # mesh 'model' axis — parallel/ring_attention.py)
+        # global-attention implementation: auto (measured size dispatch:
+        # dense ≤1024 nodes, chunked online-softmax above — see
+        # ops/pallas/flash_mha.py docstring table), dense / chunked / flash
+        # (force the named exact path), ring (node-axis sequence parallelism
+        # over the mesh 'model' axis — parallel/ring_attention.py)
         attn_impl="auto",
     )
     # Performer options of the vendored stack (reference performer_layer.py

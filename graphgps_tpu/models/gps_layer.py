@@ -157,7 +157,8 @@ class GPSLayer(nn.Module):
                         q, k, v, kmask, bias=bias,
                         dropout_rate=self.attn_dropout if train else 0.0,
                         dropout_rng=rng,
-                        return_attn=self.log_attn_weights)
+                        return_attn=self.log_attn_weights,
+                        impl=self.attn_impl)
                     if self.log_attn_weights:
                         o, attn = o
                         self.sow("intermediates", "attn_weights", attn)

@@ -1,17 +1,33 @@
-"""Pallas flash-attention dispatch for padded graph batches.
+"""Masked-MHA dispatch for padded graph batches (+ the Pallas flash kernel).
 
-For large node counts (VOC/COCO ≤500, ogbg-code2 ≤1000 after clipping) the
-dense (B,H,N,N) attention matrix dominates HBM traffic; the Pallas flash kernel
-(jax.experimental.pallas.ops.tpu.flash_attention — online-softmax tiling in
-VMEM, custom VJP for the backward) avoids materializing it. Padding is
-expressed via SegmentIds: padded tokens get segment 0, real tokens segment 1,
-so real queries never attend to padding (the key-padding-mask capability of
-the reference's torch MHA, /root/reference/graphgps/layer/gps_layer.py:199-210).
+Three interchangeable exact implementations of key-padding-masked MHA (the
+capability of the reference's torch MHA,
+/root/reference/graphgps/layer/gps_layer.py:199-210):
 
-Dispatch policy (``mha``): flash when N ≥ GGPS_FLASH_MIN_N (default 256) and
-shapes meet the kernel's tiling constraints; XLA dense einsum otherwise (the
-right call for molecular graphs with N ≤ 128, where everything fits in VMEM
-anyway and the MXU runs dense).
+- **dense** (ops/mha.mha_core): XLA einsum, O(N²) memory;
+- **chunked** (ops/chunked_mha): online-softmax over key chunks — exact,
+  O(N·chunk) memory, supports bias and attention dropout;
+- **flash** (this file): the Pallas TPU kernel
+  (jax.experimental.pallas.ops.tpu.flash_attention) with padding expressed
+  via SegmentIds (padded tokens segment 0, real tokens segment 1).
+
+Dispatch policy (``mha``, impl='auto') — set by the round-3 HONEST
+device-clock A/B (docs/RESULTS.md erratum + re-measurement; earlier
+tunnel-confounded timings had called flash a wash):
+
+    fwd+bwd per call, v5e, f32        dense      flash     chunked
+    B8 H8 N512  Dh16 (VOC)            2.5-2.7    3.3-4.1   1.8-4.0
+    B8 H8 N1024 Dh16 (code2)          12.1       15.8      10.6
+    B4 H4 N4992 Dh16 (MalNet)         34.7       45.0      10.8
+    B8 H8 N1024 Dh64                  28.3       41.0      23.3
+
+Flash never wins at graph-recipe shapes on this chip — its 128-lane head-dim
+padding (8× at Dh=16) and kernel overheads outweigh the memory win — so
+'auto' picks DENSE up to N ≤ GGPS_DENSE_MAX_N (default 1024) and within the
+GGPS_DENSE_MAX_BYTES score-matrix budget (default 2 GB), CHUNKED above
+(clearly fastest at long context AND O(N) memory). The flash kernel stays
+available via gt.attn_impl='flash' for future chips/shapes where the
+balance flips.
 """
 from __future__ import annotations
 
@@ -23,6 +39,8 @@ import jax
 import jax.numpy as jnp
 
 _FLASH_MIN_N = int(os.environ.get("GGPS_FLASH_MIN_N", 256))
+_DENSE_MAX_N = int(os.environ.get("GGPS_DENSE_MAX_N", 1024))
+_DENSE_MAX_BYTES = int(os.environ.get("GGPS_DENSE_MAX_BYTES", 2 << 30))
 _LANE = 128
 
 
@@ -62,46 +80,46 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, key_mask: jax.Array,
     return out[..., :Dh]
 
 
-_warned_dropout_dense = False
-
-
 def mha(q, k, v, key_mask, bias=None, dropout_rate: float = 0.0,
-        dropout_rng=None, return_attn: bool = False):
-    """Size-dispatched masked MHA: Pallas flash for large N, XLA dense otherwise.
+        dropout_rng=None, return_attn: bool = False, impl: str = "auto"):
+    """Masked MHA with measured-policy dispatch (module docstring table).
 
     Dispatch contract (documented + tested, tests/test_flash_mha.py):
-    - the flash path applies softmax scaling internally (caller must NOT
-      pre-scale q);
-    - attention-weight DROPOUT and attn-weight capture cannot use flash
-      (it never materializes the (N, N) weights). With dropout, the dense
-      path runs up to N<1024 (measured on v5e at N=512 it beats chunked,
-      1.24 vs 1.46 ms fwd+bwd, and the O(N²) buffers still fit); from
-      N≥1024 the CHUNKED online-softmax path (ops/chunked_mha.py) takes
-      over: O(N·chunk) memory, exact softmax, per-chunk dropout — so
-      attn_dropout recipes train at code2/MalNet node counts without the
-      O(N²) memory blow-up. Attn-weight capture always forces dense (the
-      weights must exist to be captured).
+    - impl='auto': DENSE while N ≤ GGPS_DENSE_MAX_N and the (B,H,N,N) score
+      matrix fits GGPS_DENSE_MAX_BYTES; CHUNKED online-softmax above (exact,
+      O(N·chunk) memory, dropout- and bias-capable). Flash is never chosen
+      automatically — on this chip it loses at every graph-recipe shape
+      (round-3 device-clock A/B).
+    - impl='dense' / 'chunked' / 'flash' force the named path. Flash
+      supports neither attention dropout nor weight capture (it never
+      materializes the (N, N) weights) and applies softmax scaling
+      internally (caller must NOT pre-scale q).
+    - attn-weight capture (return_attn) always forces dense: the weights
+      must exist to be captured.
     """
     from ..mha import mha_core
 
     B, H, N, Dh = q.shape
-    if not return_attn and flash_available(N, Dh):
-        if dropout_rate == 0.0:
-            return flash_mha(q, k, v, key_mask, bias)
-        if N >= 1024:
-            from ..chunked_mha import chunked_mha
+    if return_attn:
+        return mha_core(q, k, v, key_mask, bias=bias,
+                        dropout_rate=dropout_rate, dropout_rng=dropout_rng,
+                        return_attn=True)
+    if impl == "flash":
+        if dropout_rate > 0.0:
+            raise ValueError("gt.attn_impl='flash' cannot apply attention "
+                             "dropout (weights are never materialized); use "
+                             "'chunked' or 'auto'")
+        if not flash_available(N, Dh):
+            raise ValueError(
+                f"gt.attn_impl='flash' needs TPU + lane-aligned "
+                f"N≥{_FLASH_MIN_N} (got N={N})")
+        return flash_mha(q, k, v, key_mask, bias)
+    if impl == "chunked" or (impl == "auto" and (
+            N > _DENSE_MAX_N or 4 * B * H * N * N > _DENSE_MAX_BYTES)):
+        from ..chunked_mha import chunked_mha
 
-            global _warned_dropout_dense
-            if not _warned_dropout_dense:
-                _warned_dropout_dense = True
-                import logging
-
-                logging.getLogger("graphgps_tpu").info(
-                    "attn_dropout=%.2f at N=%d: using chunked online-softmax "
-                    "attention (flash memory class, dropout-capable)",
-                    dropout_rate, N)
-            return chunked_mha(q, k, v, key_mask, bias=bias,
-                               dropout_rate=dropout_rate,
-                               dropout_rng=dropout_rng)
+        return chunked_mha(q, k, v, key_mask, bias=bias,
+                           dropout_rate=dropout_rate,
+                           dropout_rng=dropout_rng)
     return mha_core(q, k, v, key_mask, bias=bias, dropout_rate=dropout_rate,
                     dropout_rng=dropout_rng, return_attn=return_attn)

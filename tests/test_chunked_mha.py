@@ -86,8 +86,9 @@ def test_dispatch_uses_chunked_for_dropout_at_scale(monkeypatch):
                         lambda *a, **k: calls.append("chunked") or real(*a, **k))
     monkeypatch.setattr(fm, "flash_available", lambda n, d: n >= 256)
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(1, 2, 1024, 16)).astype(np.float32))
-    mask = jnp.ones((1, 1024), bool)
+    n = fm._DENSE_MAX_N * 2  # above the measured dense ceiling
+    q = jnp.asarray(rng.normal(size=(1, 2, n, 16)).astype(np.float32))
+    mask = jnp.ones((1, n), bool)
     fm.mha(q, q, q, mask, dropout_rate=0.5,
            dropout_rng=jax.random.PRNGKey(0))
     assert calls == ["chunked"]

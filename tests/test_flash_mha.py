@@ -40,7 +40,7 @@ def test_flash_available_policy(monkeypatch):
     assert not flash_mha.flash_available(256, 16)  # compiled kernel is TPU-only
 
 
-def test_dropout_forces_dense():
+def test_dropout_never_takes_flash():
     B, H, N, Dh = 1, 1, 256, 16
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(size=(B, H, N, Dh)).astype(np.float32))
@@ -49,12 +49,16 @@ def test_dropout_forces_dense():
     out = flash_mha.mha(q, q, q, mask, dropout_rate=0.5,
                         dropout_rng=jax.random.PRNGKey(0))
     assert out.shape == q.shape
+    with pytest.raises(ValueError):
+        flash_mha.mha(q, q, q, mask, dropout_rate=0.5,
+                      dropout_rng=jax.random.PRNGKey(0), impl="flash")
 
 
-def test_dispatch_contract_dropout_forces_dense(monkeypatch):
-    """Documented dispatch: flash at large N without dropout; attention
-    dropout routes to the chunked online-softmax path; attn-weight capture
-    forces dense (the weights must exist to be captured)."""
+def test_dispatch_contract_measured_policy(monkeypatch):
+    """Documented measured dispatch (round-3 device-clock A/B): auto = dense
+    up to N≤GGPS_DENSE_MAX_N within the score-matrix byte budget, chunked
+    online-softmax above; flash only on explicit impl='flash'; attn-weight
+    capture forces dense (the weights must exist to be captured)."""
     import graphgps_tpu.ops.chunked_mha as cm
     import graphgps_tpu.ops.pallas.flash_mha as fm
 
@@ -76,15 +80,29 @@ def test_dispatch_contract_dropout_forces_dense(monkeypatch):
     monkeypatch.setattr(mha_mod, "mha_core", spy_core)
 
     rng = np.random.default_rng(0)
-    mk = lambda n: (jnp.asarray(rng.normal(size=(1, 2, n, 16))
-                                .astype(np.float32)), jnp.ones((1, n), bool))
+    mk = lambda n, b=1: (jnp.asarray(rng.normal(size=(b, 2, n, 16))
+                                     .astype(np.float32)),
+                         jnp.ones((b, n), bool))
     q5, m5 = mk(512)
     q10, m10 = mk(1024)
+    q20, m20 = mk(2048)
 
-    fm.mha(q5, q5, q5, m5)                            # no dropout → flash
+    fm.mha(q5, q5, q5, m5)                            # auto, N≤1024 → dense
+    fm.mha(q10, q10, q10, m10)                        # auto, N=1024 → dense
+    fm.mha(q20, q20, q20, m20)                        # auto, N>1024 → chunked
     fm.mha(q5, q5, q5, m5, dropout_rate=0.5,
-           dropout_rng=jax.random.PRNGKey(0))         # dropout, N<1024 → dense
-    fm.mha(q10, q10, q10, m10, dropout_rate=0.5,
-           dropout_rng=jax.random.PRNGKey(0))         # dropout, N≥1024 → chunked
+           dropout_rng=jax.random.PRNGKey(0))         # dropout small → dense
+    fm.mha(q20, q20, q20, m20, dropout_rate=0.5,
+           dropout_rng=jax.random.PRNGKey(0))         # dropout large → chunked
+    fm.mha(q5, q5, q5, m5, impl="flash")              # explicit → flash
+    fm.mha(q20, q20, q20, m20, impl="dense")          # explicit → dense
+    fm.mha(q5, q5, q5, m5, impl="chunked")            # explicit → chunked
     fm.mha(q5, q5, q5, m5, return_attn=True)          # capture → dense
-    assert calls == ["flash", "dense", "chunked", "dense"]
+    assert calls == ["dense", "dense", "chunked", "dense", "chunked",
+                     "flash", "dense", "chunked", "dense"]
+    # byte budget: a huge B·H·N² at N≤1024 still routes to chunked
+    monkeypatch.setattr(fm, "_DENSE_MAX_BYTES", 4 * 2 * 512 * 512)
+    calls.clear()
+    qq, mm = mk(512, b=2)
+    fm.mha(qq, qq, qq, mm)
+    assert calls == ["chunked"]
