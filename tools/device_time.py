@@ -59,6 +59,9 @@ def measure(make_cfg, K=32, dispatches=4, label=""):
     import jax
     import jax.numpy as jnp
 
+    from graphgps_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+
     import graphgps_tpu.data.datasets  # noqa: F401
     import graphgps_tpu.train.loop as L
     from graphgps_tpu.config.config import new_cfg
