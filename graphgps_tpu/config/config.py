@@ -238,8 +238,10 @@ def new_cfg() -> CfgNode:
         # global-attention implementation: auto (measured size dispatch:
         # dense ≤1024 nodes, chunked online-softmax above — see
         # ops/pallas/flash_mha.py docstring table), dense / chunked / flash
-        # (force the named exact path), ring (node-axis sequence parallelism
-        # over the mesh 'model' axis — parallel/ring_attention.py)
+        # (force the named exact path), fused (Pallas fused
+        # proj+MHA+proj kernel for small-N Transformer shapes,
+        # ops/pallas/fused_gps_attn.py), ring (node-axis sequence
+        # parallelism over the mesh 'model' axis — parallel/ring_attention.py)
         attn_impl="auto",
     )
     # Performer options of the vendored stack (reference performer_layer.py

@@ -124,9 +124,71 @@ class GPSLayer(nn.Module):
             H, Dh = self.num_heads, d // self.num_heads
             xd = batch.dense_view(x)                       # (B, N, d) free reshape
             kmask = batch.dense_view(batch.node_mask)      # (B, N)
-            q = split_heads(nn.Dense(d)(xd), H)
-            k = split_heads(nn.Dense(d)(xd), H)
-            v = split_heads(nn.Dense(d)(xd), H)
+            # Packed QKV + output projection as explicit params (ONE (d,3d)
+            # MXU matmul instead of three; same init distribution as three
+            # lecun-normal Dense layers). Every attn impl — dense/chunked/
+            # flash dispatch, ring, fused Pallas, Performer, BigBird — shares
+            # this parameterization, so checkpoints and the dryrun's
+            # cross-impl loss-parity assertion hold across impl switches.
+            # TP rule: parallel/tensor.py shards qkv_kernel's last axis
+            # (heads) over 'model'.
+            wqkv = self.param(
+                "qkv_kernel",
+                nn.initializers.variance_scaling(
+                    1.0, "fan_in", "truncated_normal", in_axis=0,
+                    out_axis=(1, 2)), (d, 3, d))
+            bqkv = self.param("qkv_bias", nn.initializers.zeros, (3, d))
+            wo = self.param("out_kernel", nn.initializers.lecun_normal(),
+                            (d, d))
+            bo = self.param("out_bias", nn.initializers.zeros, (d,))
+
+            # fused Pallas path: QKV proj + masked MHA + out proj in one
+            # kernel (ops/pallas/fused_gps_attn.py) — dispatched for small-N
+            # Transformer shapes where it beats the XLA path (device-clock
+            # A/B, docs/RESULTS.md round 4)
+            from ..ops.pallas.fused_gps_attn import (fused_auto_wins,
+                                                     fused_eligible,
+                                                     fused_gps_attention)
+            use_fused = (gt == "Transformer"
+                         and jax.default_backend() == "tpu"
+                         and self.attn_impl in ("fused", "auto")
+                         and fused_eligible(
+                             N, d, H, bias=None,
+                             return_attn=self.log_attn_weights)
+                         and (self.attn_impl == "fused"
+                              or fused_auto_wins(B, N, d)))
+            if self.attn_impl == "fused" and not use_fused:
+                raise ValueError(
+                    "gt.attn_impl='fused' needs TPU + Transformer global "
+                    f"attention + N≤128, lane-aligned dims (got N={N}, "
+                    f"d={d}, log_attn_weights={self.log_attn_weights})")
+            if use_fused:
+                rate = self.attn_dropout if train else 0.0
+                if rate > 0.0:
+                    seed = jax.random.bits(
+                        self.make_rng("dropout"), (), jnp.uint32
+                    ).astype(jnp.int32)
+                else:
+                    seed = jnp.zeros((), jnp.int32)
+                od = fused_gps_attention(
+                    xd, kmask.astype(xd.dtype), wqkv.reshape(d, 3 * d),
+                    bqkv.reshape(3 * d), wo, bo, seed, H, rate)
+                h_attn = batch.flat_view(od)
+                h_attn = nn.Dropout(self.dropout,
+                                    deterministic=not train)(h_attn)
+                h_attn = h_in + h_attn
+                h_attn = Norm(batch_norm=self.batch_norm,
+                              layer_norm=self.layer_norm,
+                              eps=self.norm_eps)(
+                    h_attn, batch.node_mask, train)
+                outs.append(h_attn)
+                gt = "None"  # skip the unfused attention tail below
+
+        if gt != "None":
+            qkv = xd @ wqkv.reshape(d, 3 * d) + bqkv.reshape(3 * d)
+            q = split_heads(qkv[..., :d], H)
+            k = split_heads(qkv[..., d:2 * d], H)
+            v = split_heads(qkv[..., 2 * d:], H)
 
             if gt in ("Transformer", "BiasedTransformer"):
                 bias = None
@@ -222,7 +284,7 @@ class GPSLayer(nn.Module):
                 # lowers as a single all-gather over 'model'
                 from ..parallel.mesh import constrain_nodes
                 h_attn = constrain_nodes(h_attn)
-            h_attn = nn.Dense(d)(h_attn)                  # output projection
+            h_attn = h_attn @ wo + bo                     # output projection
             h_attn = nn.Dropout(self.dropout, deterministic=not train)(h_attn)
             h_attn = h_in + h_attn
             h_attn = Norm(batch_norm=self.batch_norm, layer_norm=self.layer_norm,

@@ -226,7 +226,10 @@ class GPSModel(nn.Module):
             (x, e), _ = Scan(layer_kwargs=layer_common)(
                 (x, e), batch, train, step, jnp.arange(cfg.gt.layers))
         else:
-            layer_cls = (nn.remat(GPSLayer, static_argnums=(3,))
+            # GPSLayer.__call__(batch, x, e, train, step): under nn.remat the
+            # lifted fn sees (scope, batch, x, e, train, step), so the static
+            # bool `train` is index 4 (index 3 crashed: TracerBoolConversion)
+            layer_cls = (nn.remat(GPSLayer, static_argnums=(4,))
                          if cfg.parallel.remat else GPSLayer)
             for li in range(cfg.gt.layers):
                 x, e = layer_cls(layer_index=li, **layer_common)(

@@ -23,18 +23,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def _spec_for(path: str, shape, mesh: Mesh) -> P:
-    """Choose a PartitionSpec for a 2D kernel by shape heuristics."""
-    if len(shape) != 2 or mesh.shape["model"] == 1:
+    """Choose a PartitionSpec for a kernel by shape/name heuristics."""
+    if mesh.shape["model"] == 1:
+        return P()
+    m = mesh.shape["model"]
+    if len(shape) == 3 and "qkv_kernel" in path and shape[2] % m == 0:
+        # packed QKV (d, 3, d): shard the head axis (last dim = H·Dh) —
+        # Megatron column-parallel attention (gps_layer.py qkv params)
+        return P(None, None, "model")
+    if len(shape) != 2:
         return P()
     rows, cols = shape
-    m = mesh.shape["model"]
     if cols == 2 * rows and cols % m == 0:      # FFN up-proj (d, 2d)
         return P(None, "model")
     if rows == 2 * cols and rows % m == 0:      # FFN down-proj (2d, d)
         return P("model", None)
-    if "GPSLayer" in path and rows == cols and cols % m == 0 and \
-            re.search(r"Dense_[0-2]/kernel", path):  # QKV projections
-        return P(None, "model")
     return P()
 
 

@@ -141,9 +141,30 @@ def main():
 
     stage = sys.argv[1] if len(sys.argv) > 1 else "zinc"
     K = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    make = {"zinc": bench._zinc_cfg, "voc": bench._voc512_cfg,
+    base = {"zinc": bench._zinc_cfg, "voc": bench._voc512_cfg,
             "pcqm": bench._pcqm256_cfg}[stage]
-    print(json.dumps(measure(make, K=K, label=stage)))
+    # optional dotted cfg overrides for A/B runs:
+    #   python tools/device_time.py pcqm 8 mixed_precision=True parallel.remat=True
+    overrides = sys.argv[3:]
+
+    def make(new_cfg):
+        cfg, dim_out = base(new_cfg)
+        for ov in overrides:
+            key, _, val = ov.partition("=")
+            node = cfg
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            import ast
+            try:
+                node[parts[-1]] = ast.literal_eval(val)
+            except (ValueError, SyntaxError):
+                node[parts[-1]] = val
+        return cfg, dim_out
+
+    label = stage + ("_" + "_".join(o.replace(".", "_").replace("=", "")
+                                    for o in overrides) if overrides else "")
+    print(json.dumps(measure(make, K=K, label=label)))
 
 
 if __name__ == "__main__":
