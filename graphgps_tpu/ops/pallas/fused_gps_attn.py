@@ -50,21 +50,38 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+# Matmul input dtype inside the kernel. On TPU, bf16 matches the XLA path's
+# single-pass-bf16 DEFAULT matmul precision (measured identical speed here —
+# Mosaic's f32 dots were not the bottleneck — but keeps fused vs unfused in
+# the same rounding class). In interpret mode (CPU tests) dots stay f32 so
+# parity tests hold tight tolerances. GGPS_FUSED_DOT_F32=1 forces exact f32.
+import os as _os
+
+
+def _dot_dt():
+    if _os.environ.get("GGPS_FUSED_DOT_F32") == "1":
+        return jnp.float32
+    return jnp.float32 if _interpret() else jnp.bfloat16
+
+
 def _dot_nt(a, b):
     """(M, K) x (N, K) → (M, N): contraction over axis 1 of both (b is used
     transposed without materializing the transpose)."""
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+    return jax.lax.dot_general(a.astype(_dot_dt()), b.astype(_dot_dt()),
+                               (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
 def _dot_tn(a, b):
     """(K, M) x (K, N) → (M, N): contraction over axis 0 of both."""
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+    return jax.lax.dot_general(a.astype(_dot_dt()), b.astype(_dot_dt()),
+                               (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
 def _dot(a, b):
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+    return jax.lax.dot_general(a.astype(_dot_dt()), b.astype(_dot_dt()),
+                               (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
@@ -82,29 +99,46 @@ def _vtile(t, H):
     return jnp.broadcast_to(t[None], (H, N, d)).reshape(H * N, d)
 
 
-def _attn_fwd_block(q, k, v, mask_row, m1t, H, scale, keep, inv_keep):
-    """One graph, all heads, head-packed with heads on the SUBLANE axis.
+def _bdot(a, b, ca, cb):
+    """Batched (over axis 0) contraction of a's axis ``ca`` with b's ``cb``,
+    f32 accumulation, bf16 (or f32, see _DOT_DT) operand passes."""
+    return jax.lax.dot_general(a.astype(_dot_dt()), b.astype(_dot_dt()),
+                               (((ca,), (cb,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
 
-    q,k,v (N, d) f32; mask_row (1, N) 0/1; m1t (H*N, d) block-diag head mask.
-    Logits live as (H*N, N): row (h,n), column m — so the softmax is a plain
-    row softmax (no lane-splitting reshape, which Mosaic cannot compile) and
-    ONE (H*N, d) x (N, d)^T MXU dot computes all heads:
 
-        logits_t[(h,n), m] = sum_c Q[n,c]·1[head(c)=h] · K[m,c]
-                           = <Q_h[n], K_h[m]>.
+def _blk(t3, m1t, G, H):
+    """(G, N, d) → (G, H*N, d): vertical head tile masked block-diagonal."""
+    _, N, d = t3.shape
+    return (jnp.broadcast_to(t3[:, None], (G, H, N, d)).reshape(G, H * N, d)
+            * m1t[None])
 
-    Returns (out (N, d) f32 heads-merged, P (H*N, N) f32 pre-dropout).
+
+def _attn_fwd_all(q3, k3, v3, maskg, m1t, G, H, scale, keep, inv_keep):
+    """All G graphs, all heads, head-packed with heads on the SUBLANE axis.
+
+    q3,k3,v3 (G, N, d); maskg (G, N) 0/1; m1t (H*N, d) block-diag head mask.
+    Logits live as (G, H*N, N): row (h,n), column m — a plain row softmax
+    (no lane-splitting reshape, which Mosaic cannot compile), and ONE batched
+    (G, H*N, d) x (G, N, d) MXU contraction computes all heads of all
+    graphs:
+
+        logits[g, (h,n), m] = sum_c Q[g,n,c]·1[head(c)=h] · K[g,m,c]
+                            = <Q_h[n], K_h[m]> within graph g.
+
+    keep: optional (G, H*N, N) dropout keep mask.
+    Returns (out (G, N, d) f32 heads-merged, P (G, H*N, N) f32 pre-dropout).
     """
-    N, d = q.shape
-    qblk = _vtile(q, H) * m1t                                  # (H*N, d)
-    logits = _dot_nt(qblk, k) * scale                          # (H*N, N)
-    logits = jnp.where(mask_row > 0, logits, NEG_INF)          # bcast rows
+    _, N, d = q3.shape
+    qblk = _blk(q3, m1t, G, H)                                 # (G, H*N, d)
+    logits = _bdot(qblk, k3, 2, 2) * scale                     # (G, H*N, N)
+    logits = jnp.where(maskg[:, None, :] > 0, logits, NEG_INF)
     mx = jnp.max(logits, axis=-1, keepdims=True)
     ex = jnp.exp(logits - mx)
     P = ex / jnp.sum(ex, axis=-1, keepdims=True)
     Pd = P if keep is None else P * keep * inv_keep
-    out_blk = _dot(Pd, v)                                      # (H*N, d)
-    out = jnp.sum((out_blk * m1t).reshape(H, N, d), axis=0)    # heads merged
+    out_blk = _bdot(Pd, v3, 2, 1)                              # (G, H*N, d)
+    out = jnp.sum((out_blk * m1t[None]).reshape(G, H, N, d), axis=1)
     return out, P
 
 
@@ -126,22 +160,18 @@ def _fwd_kernel(seed_ref, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     x2 = x_ref[:].reshape(G * N, d).astype(f32)
     qkv = _dot(x2, wqkv_ref[:].astype(f32)) + bqkv_ref[0].astype(f32)
     m1t = _m1t(d, H, N)
-    keep_all, inv_keep = (None, 1.0)
+    keep, inv_keep = (None, 1.0)
     if rate > 0.0:
-        keep_all, inv_keep = _keep_mask(seed_ref, (G * H * N, N), rate)
-    outs = []
-    for g in range(G):
-        s = g * N
-        q, k, v = (qkv[s:s + N, :d], qkv[s:s + N, d:2 * d],
-                   qkv[s:s + N, 2 * d:])
-        keep = (None if keep_all is None
-                else keep_all[g * H * N:(g + 1) * H * N])
-        row = pl.program_id(0) * G + g
-        o_g, _ = _attn_fwd_block(q, k, v, mask_ref[pl.ds(row, 1), :],
-                                 m1t, H, scale, keep, inv_keep)
-        outs.append(o_g)
-    o_merged = jnp.concatenate(outs, axis=0)                   # (G*N, d)
-    y = _dot(o_merged, wo_ref[:].astype(f32)) + bo_ref[0].astype(f32)
+        keep, inv_keep = _keep_mask(seed_ref, (G * H * N, N), rate)
+        keep = keep.reshape(G, H * N, N)
+    q3 = qkv[:, :d].reshape(G, N, d)
+    k3 = qkv[:, d:2 * d].reshape(G, N, d)
+    v3 = qkv[:, 2 * d:].reshape(G, N, d)
+    maskg = mask_ref[pl.ds(pl.program_id(0) * G, G), :]        # (G, N)
+    out, _ = _attn_fwd_all(q3, k3, v3, maskg, m1t, G, H, scale,
+                           keep, inv_keep)
+    y = _dot(out.reshape(G * N, d), wo_ref[:].astype(f32)) \
+        + bo_ref[0].astype(f32)
     o_ref[:] = y.reshape(G, N, d).astype(o_ref.dtype)
 
 
@@ -155,39 +185,36 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref,
     wqkv = wqkv_ref[:].astype(f32)
     qkv = _dot(x2, wqkv) + bqkv_ref[0].astype(f32)
     m1t = _m1t(d, H, N)
-    keep_all, inv_keep = (None, 1.0)
+    keep, inv_keep = (None, 1.0)
     if rate > 0.0:
-        keep_all, inv_keep = _keep_mask(seed_ref, (G * H * N, N), rate)
+        keep, inv_keep = _keep_mask(seed_ref, (G * H * N, N), rate)
+        keep = keep.reshape(G, H * N, N)
+    q3 = qkv[:, :d].reshape(G, N, d)
+    k3 = qkv[:, d:2 * d].reshape(G, N, d)
+    v3 = qkv[:, 2 * d:].reshape(G, N, d)
+    maskg = mask_ref[pl.ds(pl.program_id(0) * G, G), :]        # (G, N)
 
     # out = O @ Wo + bo  →  dO = g @ Wo^T
     do_merged = _dot_nt(gout, wo_ref[:].astype(f32))           # (G*N, d)
-    o_rows, dqkv_rows = [], []
-    for g in range(G):
-        s = g * N
-        q, k, v = (qkv[s:s + N, :d], qkv[s:s + N, d:2 * d],
-                   qkv[s:s + N, 2 * d:])
-        keep = (None if keep_all is None
-                else keep_all[g * H * N:(g + 1) * H * N])
-        row = pl.program_id(0) * G + g
-        o_g, P = _attn_fwd_block(q, k, v, mask_ref[pl.ds(row, 1), :],
-                                 m1t, H, scale, keep, inv_keep)
-        o_rows.append(o_g)
-        dog = do_merged[s:s + N]                               # (N, d)
-        dout_blk = _vtile(dog, H) * m1t                        # (H*N, d)
-        dPd = _dot_nt(dout_blk, v)                             # (H*N, N)
-        Pd = P if keep is None else P * keep * inv_keep
-        # dV[m,(h,dh)] = Σ_n Pd[(h,n),m]·dog[n,(h,dh)] — the head mask in
-        # dout_blk keeps exactly the matching-head terms
-        dv = _dot_tn(Pd, dout_blk)                             # (N, d)
-        dP = dPd if keep is None else dPd * keep * inv_keep
-        dS = P * (dP - jnp.sum(dP * P, axis=-1, keepdims=True))  # (H*N, N)
-        dqblk = _dot(dS, k)                                    # (H*N, d)
-        dq = jnp.sum((dqblk * m1t).reshape(H, N, d), axis=0) * scale
-        qblk = _vtile(q, H) * m1t
-        dk = _dot_tn(dS, qblk) * scale                         # (N, d)
-        dqkv_rows.append(jnp.concatenate([dq, dk, dv], axis=1))
-    o_merged = jnp.concatenate(o_rows, axis=0)                 # (G*N, d)
-    dqkv = jnp.concatenate(dqkv_rows, axis=0)                  # (G*N, 3d)
+    o3, P = _attn_fwd_all(q3, k3, v3, maskg, m1t, G, H, scale,
+                          keep, inv_keep)
+    do3 = do_merged.reshape(G, N, d)
+    dout_blk = _blk(do3, m1t, G, H)                            # (G, H*N, d)
+    dPd = _bdot(dout_blk, v3, 2, 2)                            # (G, H*N, N)
+    Pd = P if keep is None else P * keep * inv_keep
+    # dV[g,m,(h,dh)] = Σ_n Pd[g,(h,n),m]·dO[g,n,(h,dh)] — the head mask in
+    # dout_blk keeps exactly the matching-head terms
+    dv = _bdot(Pd, dout_blk, 1, 1)                             # (G, N, d)
+    dP = dPd if keep is None else dPd * keep * inv_keep
+    dS = P * (dP - jnp.sum(dP * P, axis=-1, keepdims=True))    # (G, H*N, N)
+    dqblk = _bdot(dS, k3, 2, 1)                                # (G, H*N, d)
+    dq = jnp.sum((dqblk * m1t[None]).reshape(G, H, N, d), axis=1) * scale
+    qblk = _blk(q3, m1t, G, H)
+    dk = _bdot(dS, qblk, 1, 1) * scale                         # (G, N, d)
+    o_merged = o3.reshape(G * N, d)
+    dqkv = jnp.concatenate(
+        [dq.reshape(G * N, d), dk.reshape(G * N, d),
+         dv.reshape(G * N, d)], axis=1)                        # (G*N, 3d)
 
     dx_ref[:] = _dot_nt(dqkv, wqkv).reshape(G, N, d).astype(dx_ref.dtype)
     dwqkv = _dot_tn(x2, dqkv)                                  # (d, 3d)
