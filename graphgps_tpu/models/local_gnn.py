@@ -59,32 +59,57 @@ class GatedGCNLayer(nn.Module):
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x, e, train: bool):
-        x_in, e_in = x, e
-        Ax = nn.Dense(self.dim)(x)
-        Bx = nn.Dense(self.dim)(x)
-        Ce = nn.Dense(self.dim)(e)
-        Dx = nn.Dense(self.dim)(x)
-        Ex = nn.Dense(self.dim)(x)
+        from ..ops.pallas.fused_gatedgcn import (fused_gatedgcn,
+                                                 fused_gatedgcn_eligible)
 
-        s, r = batch.senders, batch.receivers
-        # one fused sender gather for Ex and Bx (single (E, 2d) block matmul,
-        # mirroring the num/den segment-sum fusion below)
-        eb = _gx(batch, jnp.concatenate([Ex, Bx], axis=-1), s)
-        e_gate = _gx(batch, Dx, r) + eb[:, :self.dim] + Ce   # (E, d) gate
-        sigma = nn.sigmoid(e_gate)
-        if self.equivstable_pe:
-            rij = _es_pe_scale(batch, MLP(hidden_dim=self.dim, out_dim=1,
-                                          num_layers=2, act="relu"))
-            if rij is not None:
-                sigma = sigma * nn.sigmoid(rij)
-        msgs = sigma * eb[:, self.dim:]
-        # one fused segment-sum for numerator and denominator: a single
-        # (E, 2d) block matmul instead of two (E, d) ones
-        nd = segment_sum(jnp.concatenate([msgs, sigma], axis=-1), r,
-                         batch.num_node_slots, mask=batch.edge_mask,
-                         **_seg_kw(batch))
-        num, den = nd[:, :self.dim], nd[:, self.dim:]
-        x_new = Ax + num / (den + 1e-6)
+        x_in, e_in = x, e
+        dA, dB, dC, dD, dE = (nn.Dense(self.dim) for _ in range(5))
+        if fused_gatedgcn_eligible(batch, x, e, self.dim,
+                                   self.equivstable_pe):
+            # fused Pallas core (ops/pallas/fused_gatedgcn.py): one kernel
+            # for projections + gathers + gate + masked segment-sum. Create
+            # the SAME Dense_0..4 param pytree by probing each module on one
+            # row (output unused → DCE'd), then hand the kernels the raw
+            # weights in the kernel's [A|D|E|B] column layout.
+            for m, src in ((dA, x), (dB, x), (dC, e), (dD, x), (dE, x)):
+                m(src[:1])
+            k = lambda m: m.variables["params"]["kernel"]   # noqa: E731
+            b = lambda m: m.variables["params"]["bias"]     # noqa: E731
+            wn = jnp.concatenate([k(dA), k(dD), k(dE), k(dB)], axis=1)
+            bn = jnp.concatenate([b(dA), b(dD), b(dE), b(dB)])
+            B, N, E = batch.num_graphs, batch.max_nodes, batch.edge_block
+            base = (jnp.arange(B, dtype=jnp.int32) * N)[:, None]
+            s_loc = batch.senders.reshape(B, E).astype(jnp.int32) - base
+            r_loc = batch.receivers.reshape(B, E).astype(jnp.int32) - base
+            em = batch.edge_mask.reshape(B, E).astype(x.dtype)
+            xp, gate = fused_gatedgcn(
+                x.reshape(B, N, self.dim), e.reshape(B, E, self.dim),
+                s_loc, r_loc, em, wn, bn, k(dC), b(dC))
+            x_new = xp.reshape(B * N, self.dim)
+            e_gate = gate.reshape(B * E, self.dim)
+        else:
+            Ax, Bx, Ce = dA(x), dB(x), dC(e)
+            Dx, Ex = dD(x), dE(x)
+
+            s, r = batch.senders, batch.receivers
+            # one fused sender gather for Ex and Bx (single (E, 2d) block
+            # matmul, mirroring the num/den segment-sum fusion below)
+            eb = _gx(batch, jnp.concatenate([Ex, Bx], axis=-1), s)
+            e_gate = _gx(batch, Dx, r) + eb[:, :self.dim] + Ce  # (E, d) gate
+            sigma = nn.sigmoid(e_gate)
+            if self.equivstable_pe:
+                rij = _es_pe_scale(batch, MLP(hidden_dim=self.dim, out_dim=1,
+                                              num_layers=2, act="relu"))
+                if rij is not None:
+                    sigma = sigma * nn.sigmoid(rij)
+            msgs = sigma * eb[:, self.dim:]
+            # one fused segment-sum for numerator and denominator: a single
+            # (E, 2d) block matmul instead of two (E, d) ones
+            nd = segment_sum(jnp.concatenate([msgs, sigma], axis=-1), r,
+                             batch.num_node_slots, mask=batch.edge_mask,
+                             **_seg_kw(batch))
+            num, den = nd[:, :self.dim], nd[:, self.dim:]
+            x_new = Ax + num / (den + 1e-6)
 
         a = get_act(self.act)
         x_new = Norm(batch_norm=self.batch_norm, layer_norm=False)(

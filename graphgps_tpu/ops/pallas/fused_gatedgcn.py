@@ -1,0 +1,311 @@
+"""Fused GatedGCN layer core: 5 projections → gathers → gate → masked
+segment-sum → node update, in ONE Pallas kernel (fwd + custom-VJP bwd).
+
+Replaces the hot path of the reference's ``GatedGCNLayer``
+(/root/reference/graphgps/layer/gatedgcn_layer.py:30-137: the A..E Linears,
+sender/receiver gathers, sigma gate and scatter-sum) for the blocked
+device-arena layout. The XLA path round-trips five (S, d)/(E, d) projection
+tensors plus gather/gate/message intermediates through HBM every layer
+(profiled round 4 at the pcqm-deep shape: 963 us/layer fwd+bwd, 15.4 ms of a
+29 ms step — the largest single block). Here every intermediate lives in
+VMEM: HBM traffic is one read of x/e, one write of the two outputs, and the
+grid-resident weights.
+
+Formulation (per graph, batched over a block of G graphs):
+
+    proj = x @ [A|D|E|B] + b                         # ONE (N, d)x(d, 4d) MXU op
+    ce   = e @ C + c
+    Ex_s, Bx_s = onehot(s) @ proj[:, 2d:4d]          # sender gather, (E, 2d)
+    Dx_r       = onehot(r) @ proj[:, d:2d]           # receiver gather
+    gate  = Dx_r + Ex_s + ce                         # -> e output (pre-norm)
+    sig   = sigmoid(gate)
+    nd    = (onehot(r)·emask)^T @ [sig*Bx_s | sig]   # masked segment-sum, (N, 2d)
+    x_out = proj[:, :d] + nd_num / (nd_den + 1e-6)   # -> node output (pre-norm)
+
+The gathers/scatters are graph-local one-hot MXU contractions (exact row
+selection; VJP is the transposed block matmul, no TPU scatter anywhere) —
+the same trick as ops/segment.py's blocked path, but fused so the one-hots
+and every intermediate never leave VMEM. BatchNorm/act/dropout/residual
+stay outside (they need cross-graph batch statistics and are cheap).
+
+Numerics: dots accumulate in f32 (preferred_element_type); sigmoid and the
+num/den division in f32. Matmul passes are bf16 on TPU (the XLA path's
+default single-pass class) and f32 in interpret mode so CPU parity tests
+hold tight tolerances — identical policy to fused_gps_attn.py.
+"""
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _dot_dt():
+    if _os.environ.get("GGPS_FUSED_DOT_F32") == "1":
+        return jnp.float32
+    return jnp.float32 if _interpret() else jnp.bfloat16
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a.astype(_dot_dt()), b.astype(_dot_dt()),
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_nt(a, b):
+    """(M, K) x (N, K) → (M, N) — b used transposed, untransposed in VMEM."""
+    return jax.lax.dot_general(a.astype(_dot_dt()), b.astype(_dot_dt()),
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_tn(a, b):
+    """(K, M) x (K, N) → (M, N)."""
+    return jax.lax.dot_general(a.astype(_dot_dt()), b.astype(_dot_dt()),
+                               (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _bdot(a, b, ca, cb):
+    """Batched (axis 0) contraction of a's axis ``ca`` with b's ``cb``."""
+    return jax.lax.dot_general(a.astype(_dot_dt()), b.astype(_dot_dt()),
+                               (((ca,), (cb,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32)
+
+
+def _fwd_core(x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref,
+              wc_ref, bc_ref, *, G, N, E, d):
+    """Shared fwd recompute: returns everything the fwd/bwd kernels need."""
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    x2 = x_ref[:].reshape(G * N, d).astype(f32)
+    e2 = e_ref[:].reshape(G * E, d).astype(f32)
+    proj = _dot(x2, wn_ref[:].astype(f32)) + bn_ref[0].astype(f32)
+    ce = _dot(e2, wc_ref[:].astype(f32)) + bc_ref[0].astype(f32)
+    s = s_ref[pl.ds(i * G, G), :]                       # (G, E) i32, local ids
+    r = r_ref[pl.ds(i * G, G), :]
+    em = em_ref[pl.ds(i * G, G), :].astype(f32)         # (G, E) 1/0
+    io = jax.lax.broadcasted_iota(jnp.int32, (G, E, N), 2)
+    oh_s = (s[:, :, None] == io).astype(f32)
+    oh_r = (r[:, :, None] == io).astype(f32)
+    p3 = proj.reshape(G, N, 4 * d)
+    gs = _bdot(oh_s, p3[:, :, 2 * d:], 2, 1)            # (G, E, 2d) [Ex|Bx]_s
+    dr = _bdot(oh_r, p3[:, :, d:2 * d], 2, 1)           # (G, E, d)  Dx_r
+    gate = dr + gs[:, :, :d] + ce.reshape(G, E, d)
+    sig = jax.nn.sigmoid(gate)
+    msgs = sig * gs[:, :, d:]
+    ohr_m = oh_r * em[:, :, None]
+    nd = _bdot(ohr_m, jnp.concatenate([msgs, sig], axis=2), 1, 1)  # (G, N, 2d)
+    return x2, e2, p3, gs, gate, sig, oh_s, oh_r, ohr_m, nd
+
+
+def _fwd_kernel(x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref,
+                wc_ref, bc_ref, xo_ref, go_ref, *, G, N, E, d):
+    (_, _, p3, _, gate, _, _, _, _, nd) = _fwd_core(
+        x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref, wc_ref, bc_ref,
+        G=G, N=N, E=E, d=d)
+    xo = p3[:, :, :d] + nd[:, :, :d] / (nd[:, :, d:] + 1e-6)
+    xo_ref[:] = xo.astype(xo_ref.dtype)
+    go_ref[:] = gate.astype(go_ref.dtype)
+
+
+def _bwd_kernel(x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref,
+                wc_ref, bc_ref, gx_ref, gg_ref,
+                dx_ref, de_ref, dwn_ref, dbn_ref, dwc_ref, dbc_ref,
+                *, G, N, E, d):
+    f32 = jnp.float32
+    (x2, e2, _, gs, _, sig, oh_s, oh_r, ohr_m, nd) = _fwd_core(
+        x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref, wc_ref, bc_ref,
+        G=G, N=N, E=E, d=d)
+    gx3 = gx_ref[:].astype(f32)                          # (G, N, d)
+    gg3 = gg_ref[:].astype(f32)                          # (G, E, d)
+
+    num, den = nd[:, :, :d], nd[:, :, d:]
+    inv = 1.0 / (den + 1e-6)
+    dnum = gx3 * inv
+    dden = -(gx3 * num) * inv * inv
+    dmsgs = _bdot(ohr_m, dnum, 2, 1)                     # (G, E, d)
+    dsig = dmsgs * gs[:, :, d:] + _bdot(ohr_m, dden, 2, 1)
+    dgate = dsig * sig * (1.0 - sig) + gg3
+    dbxs = dmsgs * sig
+    # scatter-back to node rows = transposed one-hot contraction over E
+    dDx = _bdot(oh_r, dgate, 1, 1)                       # (G, N, d)
+    dEx = _bdot(oh_s, dgate, 1, 1)
+    dBx = _bdot(oh_s, dbxs, 1, 1)
+    dproj = jnp.concatenate([gx3, dDx, dEx, dBx], axis=2).reshape(G * N, 4 * d)
+    dgate2 = dgate.reshape(G * E, d)
+
+    wn = wn_ref[:].astype(f32)
+    wc = wc_ref[:].astype(f32)
+    dx_ref[:] = _dot_nt(dproj, wn).reshape(G, N, d).astype(dx_ref.dtype)
+    de_ref[:] = _dot_nt(dgate2, wc).reshape(G, E, d).astype(de_ref.dtype)
+    dwn = _dot_tn(x2, dproj)
+    dbn = jnp.sum(dproj, axis=0, keepdims=True)
+    dwc = _dot_tn(e2, dgate2)
+    dbc = jnp.sum(dgate2, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwn_ref[:] = dwn
+        dbn_ref[:] = dbn
+        dwc_ref[:] = dwc
+        dbc_ref[:] = dbc
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        dwn_ref[:] += dwn
+        dbn_ref[:] += dbn
+        dwc_ref[:] += dwc
+        dbc_ref[:] += dbc
+
+
+def _pick_block(B: int, N: int, E: int, d: int) -> int:
+    """Graphs per grid step. Per-graph VMEM residents are ~(12·N + 14·E)·d·4
+    bytes across fwd+bwd program values; budget a few MB and keep G | B.
+    GGPS_GGCN_G overrides for A/B tuning."""
+    env = _os.environ.get("GGPS_GGCN_G")
+    if env:
+        G = min(int(env), B)
+    else:
+        # Byte model overestimates (Mosaic reuses buffers; dots run bf16):
+        # measured at the pcqm shape (N=32, E=64, d=256), G=16 compiles and
+        # is the fastest point (G=32 overflows VMEM), so the budget is set
+        # to land there while still scaling down for bigger blocks.
+        per_graph = (12 * N + 14 * E) * d * 4
+        G = max(1, min(B, (24 << 20) // max(per_graph, 1)))
+    while B % G:
+        G -= 1
+    return G
+
+
+def _f0(a):
+    return np.zeros(a.shape, jax.dtypes.float0)
+
+
+@jax.custom_vjp
+def fused_gatedgcn(x, e, s_loc, r_loc, emask, wn, bn, wc, bc):
+    """x: (B, N, d) nodes; e: (B, E, d) edges; s_loc/r_loc: (B, E) i32
+    graph-LOCAL endpoint ids (device arenas point padded edges at a real node
+    of the same graph); emask: (B, E) f32 1/0; wn: (d, 4d) columns
+    [A|D|E|B] of the five reference Linears (C separate); bn: (4d,);
+    wc: (d, d); bc: (d,).
+
+    Returns (x_pre, gate): the pre-norm node update Ax + Σσ·Bx / (Σσ + ε)
+    and the pre-norm edge update (gate), numerically matching the unfused
+    blocked-XLA path to matmul-pass rounding.
+    """
+    return _fwd_call(x, e, s_loc, r_loc, emask, wn, bn, wc, bc)
+
+
+def _resident_specs(B, N, E, d):
+    return [
+        pl.BlockSpec((B, E), lambda i: (0, 0)),        # s_loc (full, resident)
+        pl.BlockSpec((B, E), lambda i: (0, 0)),        # r_loc
+        pl.BlockSpec((B, E), lambda i: (0, 0)),        # emask
+        pl.BlockSpec((d, 4 * d), lambda i: (0, 0)),    # wn
+        pl.BlockSpec((1, 4 * d), lambda i: (0, 0)),    # bn
+        pl.BlockSpec((d, d), lambda i: (0, 0)),        # wc
+        pl.BlockSpec((1, d), lambda i: (0, 0)),        # bc
+    ]
+
+
+def _fwd_call(x, e, s_loc, r_loc, emask, wn, bn, wc, bc):
+    B, N, d = x.shape
+    E = e.shape[1]
+    G = _pick_block(B, N, E, d)
+    kern = functools.partial(_fwd_kernel, G=G, N=N, E=E, d=d)
+    return pl.pallas_call(
+        kern,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, N, d), lambda i: (i, 0, 0)),   # x
+            pl.BlockSpec((G, E, d), lambda i: (i, 0, 0)),   # e
+        ] + _resident_specs(B, N, E, d),
+        out_specs=[
+            pl.BlockSpec((G, N, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, E, d), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, d), x.dtype),
+            jax.ShapeDtypeStruct((B, E, d), e.dtype),
+        ],
+        interpret=_interpret(),
+    )(x, e, s_loc, r_loc, emask.astype(x.dtype), wn, bn.reshape(1, -1),
+      wc, bc.reshape(1, -1))
+
+
+def _vjp_fwd(x, e, s_loc, r_loc, emask, wn, bn, wc, bc):
+    y = _fwd_call(x, e, s_loc, r_loc, emask, wn, bn, wc, bc)
+    return y, (x, e, s_loc, r_loc, emask, wn, bn, wc, bc)
+
+
+def _vjp_bwd(res, g):
+    x, e, s_loc, r_loc, emask, wn, bn, wc, bc = res
+    gx, gg = g
+    B, N, d = x.shape
+    E = e.shape[1]
+    G = _pick_block(B, N, E, d)
+    f32 = jnp.float32
+    kern = functools.partial(_bwd_kernel, G=G, N=N, E=E, d=d)
+    dx, de, dwn, dbn, dwc, dbc = pl.pallas_call(
+        kern,
+        grid=(B // G,),
+        in_specs=[
+            pl.BlockSpec((G, N, d), lambda i: (i, 0, 0)),   # x
+            pl.BlockSpec((G, E, d), lambda i: (i, 0, 0)),   # e
+        ] + _resident_specs(B, N, E, d) + [
+            pl.BlockSpec((G, N, d), lambda i: (i, 0, 0)),   # gx
+            pl.BlockSpec((G, E, d), lambda i: (i, 0, 0)),   # gg
+        ],
+        out_specs=[
+            pl.BlockSpec((G, N, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((G, E, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((d, 4 * d), lambda i: (0, 0)),
+            pl.BlockSpec((1, 4 * d), lambda i: (0, 0)),
+            pl.BlockSpec((d, d), lambda i: (0, 0)),
+            pl.BlockSpec((1, d), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, d), x.dtype),
+            jax.ShapeDtypeStruct((B, E, d), e.dtype),
+            jax.ShapeDtypeStruct((d, 4 * d), f32),
+            jax.ShapeDtypeStruct((1, 4 * d), f32),
+            jax.ShapeDtypeStruct((d, d), f32),
+            jax.ShapeDtypeStruct((1, d), f32),
+        ],
+        interpret=_interpret(),
+    )(x, e, s_loc, r_loc, emask.astype(x.dtype), wn, bn.reshape(1, -1),
+      wc, bc.reshape(1, -1), gx, gg)
+    return (dx, de,
+            _f0(s_loc), _f0(r_loc), jnp.zeros_like(emask),
+            dwn.astype(wn.dtype), dbn.reshape(-1).astype(bn.dtype),
+            dwc.astype(wc.dtype), dbc.reshape(-1).astype(bc.dtype))
+
+
+fused_gatedgcn.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def fused_gatedgcn_eligible(batch, x, e, dim: int,
+                            equivstable_pe: bool) -> bool:
+    """Blocked arena layout present, lane-aligned square projections, no
+    ES-PE message rescale (that path keeps the XLA formulation).
+    GGPS_FUSED_GGCN=0 kills the path for A/B runs."""
+    env = _os.environ.get("GGPS_FUSED_GGCN")
+    if env == "0":
+        return False
+    return (batch.edge_block is not None
+            and e is not None
+            and not equivstable_pe
+            and x.shape[-1] == dim and e.shape[-1] == dim
+            and dim % 128 == 0
+            and batch.max_nodes % 8 == 0
+            and batch.edge_block % 8 == 0)
