@@ -163,8 +163,16 @@ def _pcqm256_cfg(new_cfg):
     cfg.gt.layers = 16
     cfg.gt.dim_hidden = 256
     cfg.gt.n_heads = 8
+    # remaining knobs of the reference recipe (pcqm4m-GPSdeep+RWSE.yaml:41-50):
+    # dropout/attn-dropout 0.1, gelu, san_graph head — all active costs
+    # (dropout draws RNG every step), so the bench must carry them
+    cfg.gt.dropout = 0.1
+    cfg.gt.attn_dropout = 0.1
+    cfg.gnn.act = "gelu"
+    cfg.gnn.head = "san_graph"
     cfg.gnn.dim_inner = 256
     cfg.train.batch_size = 256
+    cfg.optim.optimizer = "adamW"
     cfg.optim.clip_grad_norm = True
     return cfg, 1
 

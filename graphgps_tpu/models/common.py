@@ -93,11 +93,21 @@ class MaskedBatchNorm(nn.Module):
 
     momentum: float = 0.9
     eps: float = 1e-5
+    # stats_only=True: compute/update the statistics exactly as usual but
+    # return (mean, var, scale, bias) instead of applying — the apply (+act,
+    # dropout, residual) then runs inside a fused Pallas tail kernel
+    # (ops/pallas/fused_tail.py). Same params/variables, same names.
+    stats_only: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: Optional[jax.Array],
-                 train: bool) -> jax.Array:
-        d = x.shape[-1]
+    def __call__(self, x: Optional[jax.Array], mask: Optional[jax.Array],
+                 train: bool, moments: Optional[tuple] = None) -> jax.Array:
+        # moments=(sy, syy, cnt, c): precomputed masked moment sums
+        # Σm·(v−c) / Σm·(v−c)² (e.g. the fused GatedGCN kernel's partial
+        # outputs) with the SAME shift c this module would use (its running
+        # mean, stop-gradient'ed). Skips the in-module reduction; everything
+        # else (running-stats update, scale/bias, apply) is unchanged.
+        d = x.shape[-1] if x is not None else moments[0].shape[-1]
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((d,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((d,)))
         scale = self.param("scale", nn.initializers.ones, (d,))
@@ -105,9 +115,15 @@ class MaskedBatchNorm(nn.Module):
 
         # statistics in f32 regardless of input dtype (bf16 policy-safe);
         # output returns to x.dtype so bf16 activations keep flowing
-        xf = x.astype(jnp.float32)
+        xf = x.astype(jnp.float32) if x is not None else None
         if train:
-            if mask is None:
+            if moments is not None:
+                sy, syy, cnt, c = moments
+                ey = sy.reshape(-1) / cnt
+                ey2 = syy.reshape(-1) / cnt
+                mean = ey + c
+                var = jnp.maximum(ey2 - ey * ey, 0.0)
+            elif mask is None:
                 mean = xf.mean(axis=0)
                 var = xf.var(axis=0)
             else:
@@ -131,6 +147,8 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         else:
             mean, var = ra_mean.value, ra_var.value
+        if self.stats_only:
+            return mean, var, scale, bias
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
         return y.astype(x.dtype)
 
@@ -153,13 +171,16 @@ class Norm(nn.Module):
     layer_norm: bool = False
     eps: float = 1e-5
     momentum: float = 0.9
+    stats_only: bool = False  # batch_norm only; see MaskedBatchNorm
 
     @nn.compact
-    def __call__(self, x, mask, train: bool):
+    def __call__(self, x, mask, train: bool, moments=None):
         if self.layer_norm:
             return MaskedLayerNorm(eps=self.eps)(x, mask, train)
         if self.batch_norm:
-            return MaskedBatchNorm(eps=self.eps, momentum=self.momentum)(x, mask, train)
+            return MaskedBatchNorm(eps=self.eps, momentum=self.momentum,
+                                   stats_only=self.stats_only)(
+                                       x, mask, train, moments)
         return x
 
 

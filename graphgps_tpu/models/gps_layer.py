@@ -68,6 +68,20 @@ class GPSLayer(nn.Module):
     bigbird_num_random_blocks: int = 3
     bigbird_attention_type: str = "block_sparse"  # or "original_full"
 
+    def _drop_add(self, x_in, v, train: bool):
+        """x_in + dropout(v): fused Pallas kernel (on-chip PRNG, one pass)
+        when the dropout is active and the shape qualifies; plain XLA
+        otherwise. Semantically identical either way (bits differ)."""
+        from ..ops.pallas.fused_tail import fused_drop_add, tail_eligible
+
+        rate = self.dropout if train else 0.0
+        if (rate > 0.0 and v.ndim == 2
+                and tail_eligible(v.shape[0], v.shape[1])):
+            seed = jax.random.bits(self.make_rng("dropout"), (),
+                                   jnp.uint32).astype(jnp.int32)
+            return fused_drop_add(x_in, v, seed, rate)
+        return x_in + nn.Dropout(self.dropout, deterministic=not train)(v)
+
     @nn.compact
     def __call__(self, batch: GraphBatch, x: jax.Array, e: Optional[jax.Array],
                  train: bool, step: Optional[jax.Array] = None,
@@ -109,8 +123,7 @@ class GPSLayer(nn.Module):
                         batch, x, e, train)
                 else:
                     raise ValueError(f"unknown local gnn {lt}")
-                h_local = nn.Dropout(self.dropout, deterministic=not train)(h_local)
-                h_local = h_in + h_local
+                h_local = self._drop_add(h_in, h_local, train)
                 h_local = Norm(batch_norm=self.batch_norm,
                                layer_norm=self.layer_norm,
                                eps=self.norm_eps)(
@@ -149,8 +162,12 @@ class GPSLayer(nn.Module):
             from ..ops.pallas.fused_gps_attn import (fused_auto_wins,
                                                      fused_eligible,
                                                      fused_gps_attention)
+            from ..parallel.mesh import current_mesh
             use_fused = (gt == "Transformer"
                          and jax.default_backend() == "tpu"
+                         and current_mesh() is None  # not shard_map-wrapped
+                         # yet: under a mesh the XLA path is the SPMD-correct
+                         # one (same rule as fused_gatedgcn_eligible)
                          and self.attn_impl in ("fused", "auto")
                          and fused_eligible(
                              N, d, H, bias=None,
@@ -174,9 +191,7 @@ class GPSLayer(nn.Module):
                     xd, kmask.astype(xd.dtype), wqkv.reshape(d, 3 * d),
                     bqkv.reshape(3 * d), wo, bo, seed, H, rate)
                 h_attn = batch.flat_view(od)
-                h_attn = nn.Dropout(self.dropout,
-                                    deterministic=not train)(h_attn)
-                h_attn = h_in + h_attn
+                h_attn = self._drop_add(h_in, h_attn, train)
                 h_attn = Norm(batch_norm=self.batch_norm,
                               layer_norm=self.layer_norm,
                               eps=self.norm_eps)(
@@ -285,8 +300,7 @@ class GPSLayer(nn.Module):
                 from ..parallel.mesh import constrain_nodes
                 h_attn = constrain_nodes(h_attn)
             h_attn = h_attn @ wo + bo                     # output projection
-            h_attn = nn.Dropout(self.dropout, deterministic=not train)(h_attn)
-            h_attn = h_in + h_attn
+            h_attn = self._drop_add(h_in, h_attn, train)
             h_attn = Norm(batch_norm=self.batch_norm, layer_norm=self.layer_norm,
                           eps=self.norm_eps)(
                 h_attn, batch.node_mask, train)
@@ -295,12 +309,32 @@ class GPSLayer(nn.Module):
         h = sum(outs) if outs else x
 
         # ---- FFN --------------------------------------------------------------
+        from ..ops.pallas.fused_tail import fused_ffn, tail_eligible
         a = get_act(self.act)
-        h2 = nn.Dense(d * 2)(h)
-        h2 = nn.Dropout(self.dropout, deterministic=not train)(a(h2))
-        h2 = nn.Dense(d)(h2)
-        h2 = nn.Dropout(self.dropout, deterministic=not train)(h2)
-        h = h + h2
+        dense1, dense2 = nn.Dense(d * 2), nn.Dense(d)
+        if (tail_eligible(h.shape[0], d, self.act) and (d * 2) % 128 == 0
+                and h.ndim == 2):
+            # whole FFN block in one Pallas kernel (both matmuls, act, both
+            # dropouts, residual — the (R, 2d) intermediate never leaves
+            # VMEM). Probe rows create the identical Dense_0/Dense_1 params.
+            _ = dense1(h[:1])
+            _ = dense2(jnp.zeros((1, d * 2), h.dtype))
+            k = lambda m: m.variables["params"]["kernel"]   # noqa: E731
+            b = lambda m: m.variables["params"]["bias"]     # noqa: E731
+            rate = self.dropout if train else 0.0
+            if rate > 0.0:
+                seed = jax.random.bits(self.make_rng("dropout"), (),
+                                       jnp.uint32).astype(jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            h = fused_ffn(h, k(dense1), b(dense1), k(dense2), b(dense2),
+                          seed, rate, self.act)
+        else:
+            h2 = dense1(h)
+            h2 = nn.Dropout(self.dropout, deterministic=not train)(a(h2))
+            h2 = dense2(h2)
+            h2 = nn.Dropout(self.dropout, deterministic=not train)(h2)
+            h = h + h2
         h = Norm(batch_norm=self.batch_norm, layer_norm=self.layer_norm,
                  eps=self.norm_eps)(
             h, batch.node_mask, train)

@@ -63,6 +63,7 @@ class GatedGCNLayer(nn.Module):
                                                  fused_gatedgcn_eligible)
 
         x_in, e_in = x, e
+        ggcn_moments = None
         dA, dB, dC, dD, dE = (nn.Dense(self.dim) for _ in range(5))
         if fused_gatedgcn_eligible(batch, x, e, self.dim,
                                    self.equivstable_pe):
@@ -82,11 +83,23 @@ class GatedGCNLayer(nn.Module):
             s_loc = batch.senders.reshape(B, E).astype(jnp.int32) - base
             r_loc = batch.receivers.reshape(B, E).astype(jnp.int32) - base
             em = batch.edge_mask.reshape(B, E).astype(x.dtype)
-            xp, gate = fused_gatedgcn(
+            nm = batch.node_mask.reshape(B, N).astype(x.dtype)
+            # BatchNorm moment shifts = the Norm_0/Norm_1 running means
+            # (exactly what MaskedBatchNorm would use; zeros during init,
+            # before the batch_stats collection exists)
+            cx, cg = (jnp.zeros((self.dim,), jnp.float32),) * 2
+            if self.batch_norm and not self.is_initializing():
+                bs = self.variables.get("batch_stats", {})
+                cx = jax.lax.stop_gradient(
+                    bs["Norm_0"]["MaskedBatchNorm_0"]["mean"])
+                cg = jax.lax.stop_gradient(
+                    bs["Norm_1"]["MaskedBatchNorm_0"]["mean"])
+            xp, gate, px, pg = fused_gatedgcn(
                 x.reshape(B, N, self.dim), e.reshape(B, E, self.dim),
-                s_loc, r_loc, em, wn, bn, k(dC), b(dC))
+                s_loc, r_loc, em, nm, cx, cg, wn, bn, k(dC), b(dC))
             x_new = xp.reshape(B * N, self.dim)
             e_gate = gate.reshape(B * E, self.dim)
+            ggcn_moments = (px, pg, cx, cg)
         else:
             Ax, Bx, Ce = dA(x), dB(x), dC(e)
             Dx, Ex = dD(x), dE(x)
@@ -110,6 +123,45 @@ class GatedGCNLayer(nn.Module):
                              **_seg_kw(batch))
             num, den = nd[:, :self.dim], nd[:, self.dim:]
             x_new = Ax + num / (den + 1e-6)
+
+        from ..ops.pallas.fused_tail import fused_pre_tail, tail_eligible
+
+        use_ft = (self.batch_norm and self.residual
+                  and x_in.shape == x_new.shape and e_in.shape == e_gate.shape
+                  and tail_eligible(x_new.shape[0], self.dim, self.act)
+                  and tail_eligible(e_gate.shape[0], self.dim, self.act))
+        if use_ft:
+            # fused tail (ops/pallas/fused_tail.py): BN-apply + act + dropout
+            # + residual in one kernel per tensor. Statistics (and running
+            # stats) keep the exact MaskedBatchNorm semantics via stats_only.
+            rate = self.dropout if train else 0.0
+            mom_x = mom_e = None
+            if ggcn_moments is not None:
+                px, pg, cx, cg = ggcn_moments
+                cnt_n = jnp.maximum(batch.node_mask.astype(jnp.float32)
+                                    .sum(), 1.0)
+                cnt_e = jnp.maximum(batch.edge_mask.astype(jnp.float32)
+                                    .sum(), 1.0)
+                dmd = self.dim
+                mom_x = (px[0, :dmd], px[0, dmd:], cnt_n, cx)
+                mom_e = (pg[0, :dmd], pg[0, dmd:], cnt_e, cg)
+            mx, vx, scx, bix = Norm(batch_norm=True, stats_only=True)(
+                x_new, batch.node_mask, train, mom_x)
+            me, ve, sce, bie = Norm(batch_norm=True, stats_only=True)(
+                e_gate, batch.edge_mask, train, mom_e)
+            if rate > 0.0:
+                seed_x = jax.random.bits(self.make_rng("dropout"), (),
+                                         jnp.uint32).astype(jnp.int32)
+                seed_e = jax.random.bits(self.make_rng("dropout"), (),
+                                         jnp.uint32).astype(jnp.int32)
+            else:
+                seed_x = seed_e = jnp.zeros((), jnp.int32)
+            eps = 1e-5  # Norm default
+            x_new = fused_pre_tail(x_in, x_new, mx, jax.lax.rsqrt(vx + eps),
+                                   scx, bix, seed_x, rate, self.act)
+            e_new = fused_pre_tail(e_in, e_gate, me, jax.lax.rsqrt(ve + eps),
+                                   sce, bie, seed_e, rate, self.act)
+            return x_new, e_new
 
         a = get_act(self.act)
         x_new = Norm(batch_norm=self.batch_norm, layer_norm=False)(

@@ -108,8 +108,11 @@ def _fwd_core(x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref,
     return x2, e2, p3, gs, gate, sig, oh_s, oh_r, ohr_m, nd
 
 
-def _fwd_kernel(x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref,
-                wc_ref, bc_ref, xo_ref, go_ref, *, G, N, E, d):
+def _fwd_kernel(x_ref, e_ref, s_ref, r_ref, em_ref, nm_ref, wn_ref, bn_ref,
+                wc_ref, bc_ref, cx_ref, cg_ref, xo_ref, go_ref,
+                px_ref, pg_ref, *, G, N, E, d):
+    f32 = jnp.float32
+    i = pl.program_id(0)
     (_, _, p3, _, gate, _, _, _, _, nd) = _fwd_core(
         x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref, wc_ref, bc_ref,
         G=G, N=N, E=E, d=d)
@@ -117,13 +120,43 @@ def _fwd_kernel(x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref,
     xo_ref[:] = xo.astype(xo_ref.dtype)
     go_ref[:] = gate.astype(go_ref.dtype)
 
+    # masked BatchNorm moment partials (running-mean shift for conditioning,
+    # models/common.py MaskedBatchNorm): [Σ m·y | Σ m·y²], y = value − c.
+    # Grid-accumulated; the (1, d)-level mean/var math stays in flax.
+    nm = nm_ref[pl.ds(i * G, G), :].astype(f32)[:, :, None]     # (G, N, 1)
+    em = em_ref[pl.ds(i * G, G), :].astype(f32)[:, :, None]     # (G, E, 1)
+    yx = xo - cx_ref[0].astype(f32)                              # (G, N, d)
+    yg = gate - cg_ref[0].astype(f32)                            # (G, E, d)
+    myx = (nm * yx).reshape(G * N, d)
+    myx2 = (nm * yx * yx).reshape(G * N, d)
+    myg = (em * yg).reshape(G * E, d)
+    myg2 = (em * yg * yg).reshape(G * E, d)
+    px = jnp.concatenate(
+        [jnp.sum(myx, axis=0, keepdims=True),
+         jnp.sum(myx2, axis=0, keepdims=True)], axis=1)          # (1, 2d)
+    pg = jnp.concatenate(
+        [jnp.sum(myg, axis=0, keepdims=True),
+         jnp.sum(myg2, axis=0, keepdims=True)], axis=1)
 
-def _bwd_kernel(x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref,
-                wc_ref, bc_ref, gx_ref, gg_ref,
+    @pl.when(i == 0)
+    def _init():
+        px_ref[:] = px
+        pg_ref[:] = pg
+
+    @pl.when(i != 0)
+    def _acc():
+        px_ref[:] += px
+        pg_ref[:] += pg
+
+
+def _bwd_kernel(x_ref, e_ref, s_ref, r_ref, em_ref, nm_ref, wn_ref, bn_ref,
+                wc_ref, bc_ref, cx_ref, cg_ref, gx_ref, gg_ref,
+                gpx_ref, gpg_ref,
                 dx_ref, de_ref, dwn_ref, dbn_ref, dwc_ref, dbc_ref,
                 *, G, N, E, d):
     f32 = jnp.float32
-    (x2, e2, _, gs, _, sig, oh_s, oh_r, ohr_m, nd) = _fwd_core(
+    i = pl.program_id(0)
+    (x2, e2, p3, gs, gate, sig, oh_s, oh_r, ohr_m, nd) = _fwd_core(
         x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref, wc_ref, bc_ref,
         G=G, N=N, E=E, d=d)
     gx3 = gx_ref[:].astype(f32)                          # (G, N, d)
@@ -131,6 +164,21 @@ def _bwd_kernel(x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref,
 
     num, den = nd[:, :, :d], nd[:, :, d:]
     inv = 1.0 / (den + 1e-6)
+
+    # cotangents of the moment-partial outputs fold straight into the xo /
+    # gate cotangents: d/dv Σm(v−c) = m,  d/dv Σm(v−c)² = 2m(v−c)
+    nm = nm_ref[pl.ds(i * G, G), :].astype(f32)[:, :, None]
+    em3 = em_ref[pl.ds(i * G, G), :].astype(f32)[:, :, None]
+    gpx = gpx_ref[:].astype(f32)                         # (1, 2d)
+    gpg = gpg_ref[:].astype(f32)
+    xo = p3[:, :, :d] + num * inv
+    gx3 = gx3 + nm * (gpx[:, :d][None]
+                      + 2.0 * (xo - cx_ref[0].astype(f32))
+                      * gpx[:, d:][None])
+    gg3 = gg3 + em3 * (gpg[:, :d][None]
+                       + 2.0 * (gate - cg_ref[0].astype(f32))
+                       * gpg[:, d:][None])
+
     dnum = gx3 * inv
     dden = -(gx3 * num) * inv * inv
     dmsgs = _bdot(ohr_m, dnum, 2, 1)                     # (G, E, d)
@@ -192,18 +240,22 @@ def _f0(a):
 
 
 @jax.custom_vjp
-def fused_gatedgcn(x, e, s_loc, r_loc, emask, wn, bn, wc, bc):
+def fused_gatedgcn(x, e, s_loc, r_loc, emask, nmask, cx, cg, wn, bn, wc, bc):
     """x: (B, N, d) nodes; e: (B, E, d) edges; s_loc/r_loc: (B, E) i32
     graph-LOCAL endpoint ids (device arenas point padded edges at a real node
-    of the same graph); emask: (B, E) f32 1/0; wn: (d, 4d) columns
-    [A|D|E|B] of the five reference Linears (C separate); bn: (4d,);
+    of the same graph); emask/nmask: (B, E)/(B, N) f32 1/0; cx/cg: (d,)
+    moment-shift vectors (MaskedBatchNorm running means — MUST be
+    stop-gradient’ed by the caller, their cotangent is dropped); wn: (d, 4d)
+    columns [A|D|E|B] of the five reference Linears (C separate); bn: (4d,);
     wc: (d, d); bc: (d,).
 
-    Returns (x_pre, gate): the pre-norm node update Ax + Σσ·Bx / (Σσ + ε)
-    and the pre-norm edge update (gate), numerically matching the unfused
-    blocked-XLA path to matmul-pass rounding.
+    Returns (x_pre, gate, px, pg): the pre-norm node update
+    Ax + Σσ·Bx / (Σσ + ε), the pre-norm edge update (gate), and the masked
+    BatchNorm moment partials ``(1, 2d) = [Σ m·(v−c) | Σ m·(v−c)²]`` for
+    each — numerically matching the unfused blocked-XLA path to matmul-pass
+    rounding.
     """
-    return _fwd_call(x, e, s_loc, r_loc, emask, wn, bn, wc, bc)
+    return _fwd_call(x, e, s_loc, r_loc, emask, nmask, cx, cg, wn, bn, wc, bc)
 
 
 def _resident_specs(B, N, E, d):
@@ -211,17 +263,21 @@ def _resident_specs(B, N, E, d):
         pl.BlockSpec((B, E), lambda i: (0, 0)),        # s_loc (full, resident)
         pl.BlockSpec((B, E), lambda i: (0, 0)),        # r_loc
         pl.BlockSpec((B, E), lambda i: (0, 0)),        # emask
+        pl.BlockSpec((B, N), lambda i: (0, 0)),        # nmask
         pl.BlockSpec((d, 4 * d), lambda i: (0, 0)),    # wn
         pl.BlockSpec((1, 4 * d), lambda i: (0, 0)),    # bn
         pl.BlockSpec((d, d), lambda i: (0, 0)),        # wc
         pl.BlockSpec((1, d), lambda i: (0, 0)),        # bc
+        pl.BlockSpec((1, d), lambda i: (0, 0)),        # cx
+        pl.BlockSpec((1, d), lambda i: (0, 0)),        # cg
     ]
 
 
-def _fwd_call(x, e, s_loc, r_loc, emask, wn, bn, wc, bc):
+def _fwd_call(x, e, s_loc, r_loc, emask, nmask, cx, cg, wn, bn, wc, bc):
     B, N, d = x.shape
     E = e.shape[1]
     G = _pick_block(B, N, E, d)
+    f32 = jnp.float32
     kern = functools.partial(_fwd_kernel, G=G, N=N, E=E, d=d)
     return pl.pallas_call(
         kern,
@@ -233,24 +289,29 @@ def _fwd_call(x, e, s_loc, r_loc, emask, wn, bn, wc, bc):
         out_specs=[
             pl.BlockSpec((G, N, d), lambda i: (i, 0, 0)),
             pl.BlockSpec((G, E, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 2 * d), lambda i: (0, 0)),
+            pl.BlockSpec((1, 2 * d), lambda i: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, N, d), x.dtype),
             jax.ShapeDtypeStruct((B, E, d), e.dtype),
+            jax.ShapeDtypeStruct((1, 2 * d), f32),
+            jax.ShapeDtypeStruct((1, 2 * d), f32),
         ],
         interpret=_interpret(),
-    )(x, e, s_loc, r_loc, emask.astype(x.dtype), wn, bn.reshape(1, -1),
-      wc, bc.reshape(1, -1))
+    )(x, e, s_loc, r_loc, emask.astype(x.dtype), nmask.astype(x.dtype),
+      wn, bn.reshape(1, -1), wc, bc.reshape(1, -1),
+      cx.reshape(1, -1), cg.reshape(1, -1))
 
 
-def _vjp_fwd(x, e, s_loc, r_loc, emask, wn, bn, wc, bc):
-    y = _fwd_call(x, e, s_loc, r_loc, emask, wn, bn, wc, bc)
-    return y, (x, e, s_loc, r_loc, emask, wn, bn, wc, bc)
+def _vjp_fwd(x, e, s_loc, r_loc, emask, nmask, cx, cg, wn, bn, wc, bc):
+    y = _fwd_call(x, e, s_loc, r_loc, emask, nmask, cx, cg, wn, bn, wc, bc)
+    return y, (x, e, s_loc, r_loc, emask, nmask, cx, cg, wn, bn, wc, bc)
 
 
 def _vjp_bwd(res, g):
-    x, e, s_loc, r_loc, emask, wn, bn, wc, bc = res
-    gx, gg = g
+    x, e, s_loc, r_loc, emask, nmask, cx, cg, wn, bn, wc, bc = res
+    gx, gg, gpx, gpg = g
     B, N, d = x.shape
     E = e.shape[1]
     G = _pick_block(B, N, E, d)
@@ -265,6 +326,8 @@ def _vjp_bwd(res, g):
         ] + _resident_specs(B, N, E, d) + [
             pl.BlockSpec((G, N, d), lambda i: (i, 0, 0)),   # gx
             pl.BlockSpec((G, E, d), lambda i: (i, 0, 0)),   # gg
+            pl.BlockSpec((1, 2 * d), lambda i: (0, 0)),     # gpx
+            pl.BlockSpec((1, 2 * d), lambda i: (0, 0)),     # gpg
         ],
         out_specs=[
             pl.BlockSpec((G, N, d), lambda i: (i, 0, 0)),
@@ -283,10 +346,14 @@ def _vjp_bwd(res, g):
             jax.ShapeDtypeStruct((1, d), f32),
         ],
         interpret=_interpret(),
-    )(x, e, s_loc, r_loc, emask.astype(x.dtype), wn, bn.reshape(1, -1),
-      wc, bc.reshape(1, -1), gx, gg)
+    )(x, e, s_loc, r_loc, emask.astype(x.dtype), nmask.astype(x.dtype),
+      wn, bn.reshape(1, -1), wc, bc.reshape(1, -1),
+      cx.reshape(1, -1), cg.reshape(1, -1), gx, gg,
+      gpx.reshape(1, -1), gpg.reshape(1, -1))
     return (dx, de,
             _f0(s_loc), _f0(r_loc), jnp.zeros_like(emask),
+            jnp.zeros_like(nmask),
+            jnp.zeros_like(cx), jnp.zeros_like(cg),  # caller stop-grads c
             dwn.astype(wn.dtype), dbn.reshape(-1).astype(bn.dtype),
             dwc.astype(wc.dtype), dbc.reshape(-1).astype(bc.dtype))
 
@@ -301,6 +368,12 @@ def fused_gatedgcn_eligible(batch, x, e, dim: int,
     GGPS_FUSED_GGCN=0 kills the path for A/B runs."""
     env = _os.environ.get("GGPS_FUSED_GGCN")
     if env == "0":
+        return False
+    from ...parallel.mesh import current_mesh
+    if current_mesh() is not None:
+        # not yet shard_map-wrapped: under a mesh the grid-accumulated
+        # weight grads and blocked layout are not SPMD-partitionable —
+        # the XLA path (fully SPMD-correct) serves multi-chip runs
         return False
     return (batch.edge_block is not None
             and e is not None

@@ -178,6 +178,22 @@ def main():
     for name, (dur, cnt) in rows[:30]:
         print(f"{dur / total * 100:7.2f} {dur / nsteps * scale:9.2f}"
               f" {cnt:6d}  {name[:40]} | {src_of.get(name, '')[-70:]}")
+
+    # optional: top instructions whose SOURCE matches a filter substring
+    # (PROFILE_FILTER=GatedGCN), layer index collapsed for aggregation
+    filt = os.environ.get("PROFILE_FILTER")
+    if filt:
+        fagg = defaultdict(lambda: [0.0, 0])
+        for name, (dur, cnt) in agg.items():
+            src = src_of.get(name, "")
+            if filt in src:
+                key = re.sub(r"GPSLayer_\d+", "GPSLayer", src)[-100:]
+                fagg[key][0] += dur
+                fagg[key][1] += cnt
+        print(f"\n-- instructions with source ~ {filt!r} --")
+        for key, (dur, cnt) in sorted(fagg.items(), key=lambda kv: -kv[1][0])[:40]:
+            print(f"{dur / total * 100:7.2f} {dur / nsteps * scale:9.2f}"
+                  f" {cnt:6d}  {key}")
     print(json.dumps({"stage": stage, "K": K,
                       "untraced_ms_per_step": round(untraced_ms, 4),
                       "traced_ops_ms_per_step": round(total / 1e3 / nsteps, 4),
