@@ -102,7 +102,11 @@ def _zinc_cfg(new_cfg):
 
 
 def _voc512_cfg(new_cfg):
-    # VOC-like long-graph shape: 8×128d GPS, bs 8, ≤500 nodes, 21 classes
+    # VOC superpixels, the FULL reference recipe
+    # (configs/GPS/vocsuperpixels-GPS.yaml): 4×96d CustomGatedGCN+Transformer,
+    # 8 heads, attn_dropout 0.5, bs 32, inductive_node head, ≤500-node graphs.
+    # d=96 is not lane-aligned, so this stage measures the blocked-XLA paths
+    # (the fused kernels' eligibility honestly excludes it).
     cfg = new_cfg()
     cfg.dataset.format = "synthetic-voc-like"
     cfg.dataset.task = "node"
@@ -115,11 +119,14 @@ def _voc512_cfg(new_cfg):
     cfg.dataset.synth_num_tasks = 21
     cfg.model.loss_fun = "weighted_cross_entropy"
     cfg.gnn.head = "inductive_node"
-    cfg.gt.layers = 8
-    cfg.gt.dim_hidden = 128
+    cfg.gt.layer_type = "CustomGatedGCN+Transformer"
+    cfg.gt.layers = 4
+    cfg.gt.dim_hidden = 96
     cfg.gt.n_heads = 8
-    cfg.gnn.dim_inner = 128
-    cfg.train.batch_size = 8
+    cfg.gt.dropout = 0.0
+    cfg.gt.attn_dropout = 0.5
+    cfg.gnn.dim_inner = 96
+    cfg.train.batch_size = 32
     cfg.optim.clip_grad_norm = True
     return cfg, 21
 
@@ -135,9 +142,13 @@ def _malnet5k_cfg(new_cfg):
     cfg.dataset.synth_max_nodes = 4992
     cfg.dataset.synth_num_tasks = 5
     cfg.dataset.node_encoder_name = "TypeDictNode"
+    # full reference recipe (configs/GPS/malnettiny-GPS.yaml): GatedGCN local
+    # + Performer global (FAVOR+ at N≈5k), attn_dropout 0.5
+    cfg.gt.layer_type = "CustomGatedGCN+Performer"
     cfg.gt.layers = 5
     cfg.gt.dim_hidden = 64
     cfg.gt.n_heads = 4
+    cfg.gt.attn_dropout = 0.5
     cfg.gnn.dim_inner = 64
     cfg.train.batch_size = 16
     cfg.optim.clip_grad_norm = True
@@ -175,6 +186,46 @@ def _pcqm256_cfg(new_cfg):
     cfg.optim.optimizer = "adamW"
     cfg.optim.clip_grad_norm = True
     return cfg, 1
+
+
+def _pcqm256_bf16_cfg(new_cfg):
+    # same recipe under the bf16 storage policy (cfg.mixed_precision —
+    # train/precision.py: f32 master params/optimizer, bf16 activations).
+    # Reported alongside the f32 headline: the A100 reference runs TF32
+    # matmuls with f32 storage, which is the f32-stage's class.
+    cfg, d = _pcqm256_cfg(new_cfg)
+    cfg.mixed_precision = True
+    return cfg, d
+
+
+def _model_flops(cfg, B, Nmax, Ecap):
+    """Hand-derived matmul FLOPs of ONE training step (fwd ×3), counting the
+    work the padded-slot implementation actually executes (padded rows ride
+    the same matmuls). Needed because XLA's cost analysis cannot see inside
+    the Pallas kernels. Covers the GPS local+global combos the bench stages
+    use; returns None otherwise. Encoders/head are excluded (lower bound —
+    they are <2% at these shapes)."""
+    lt = cfg.gt.layer_type
+    try:
+        local, glob = lt.split("+")
+    except ValueError:
+        return None
+    d, L = cfg.gt.dim_hidden, cfg.gt.layers
+    S, E = B * Nmax, B * Ecap
+    if local in ("CustomGatedGCN",):
+        fl_local = 2 * S * d * 4 * d + 2 * E * d * d
+    elif local in ("GINE", "GIN"):
+        fl_local = 2 * (2 * S * d * d)           # 2-layer MLP
+    elif local == "GCN":
+        fl_local = 2 * S * d * d
+    else:
+        return None
+    if glob == "Transformer":
+        fl_glob = 2 * S * d * 3 * d + 4 * B * Nmax * Nmax * d + 2 * S * d * d
+    else:
+        return None
+    fl_ffn = 8 * S * d * d
+    return 3.0 * L * (fl_local + fl_glob + fl_ffn)
 
 
 def bench_scan(make_cfg, K=8, windows=5, groups=40):
@@ -256,6 +307,12 @@ def bench_scan(make_cfg, K=8, windows=5, groups=40):
     if flops:
         out["flops_per_step"] = flops
         out["mfu_vs_v5e_bf16_peak"] = round(flops / step_s / V5E_PEAK_FLOPS, 4)
+    mf = _model_flops(cfg, B, loader.max_nodes,
+                      loader.arenas.senders.shape[1])
+    if mf:
+        # the honest MFU once Pallas kernels hide work from cost analysis
+        out["model_flops_per_step"] = mf
+        out["mfu_model"] = round(mf / step_s / V5E_PEAK_FLOPS, 4)
     return out
 
 
@@ -455,12 +512,16 @@ def main():
         # K sweep measured 2026-08-18 (flat carry): K=8 1.090 ms, K=16 1.054,
         # K=32 0.992 — dispatch amortization asymptote ~0.95 ms/step
         ("zinc_bs32_scan32", "bench.bench_zinc_scan(K=32)"),
-        ("voc512_bs8",
-         "bench.bench_shape(bench._voc512_cfg, windows=3, iters=60)"),
-        # long-context rung (MalNet shape, N≈5k → chunked attention): keeps
+        ("voc_gps_4x96_bs32",
+         "bench.bench_scan(bench._voc512_cfg, K=4, windows=3, groups=10)"),
+        # long-context rung (MalNet recipe, N≈5k → GatedGCN + FAVOR+): keeps
         # the driver artifact covering the attention ladder (VERDICT r3 #7)
         ("malnet5k_bs16",
-         "bench.bench_shape(bench._malnet5k_cfg, windows=3, iters=10)"),
+         "bench.bench_scan(bench._malnet5k_cfg, K=2, windows=3, groups=6)"),
+        # bf16 storage-policy variant of the headline shape
+        ("pcqm_deep_bs256_bf16",
+         "bench.bench_scan(bench._pcqm256_bf16_cfg, K=8, windows=3,"
+         " groups=25)"),
     ]
     for name, call in stages:
         left = time_left()

@@ -378,6 +378,10 @@ def fused_gatedgcn_eligible(batch, x, e, dim: int,
     return (batch.edge_block is not None
             and e is not None
             and not equivstable_pe
+            # the in-kernel one-hot contractions share the blocked-path FLOP
+            # blow-up bound (ops/segment._blocked_ok): long-graph shapes
+            # would waste ~max_nodes× MXU work per gather
+            and batch.edge_block * batch.max_nodes <= (1 << 21)
             and x.shape[-1] == dim and e.shape[-1] == dim
             and dim % 128 == 0
             and batch.max_nodes % 8 == 0

@@ -110,6 +110,16 @@ def blocked_gather(x: jax.Array, idx: jax.Array, edge_block: int,
 
 
 _BLOCKED_GATHER = os.environ.get("GGPS_BLOCKED_GATHER", "1") == "1"
+# Per-graph one-hot block cutoff: the blocked MXU path executes
+# edge_block × max_nodes × d FLOPs per op — a bargain at molecule scale
+# (pcqm 64×32=2k) but ~Nmax× pure waste at long-graph scale (MalNet
+# 14k×5k=70M would be ~140 GF per segment op). Above the cutoff the sorted
+# scatter wins (device-clock A/B, docs/RESULTS.md round 4).
+_BLOCKED_LIMIT = int(os.environ.get("GGPS_BLOCKED_LIMIT", str(1 << 21)))
+
+
+def _blocked_ok(edge_block: int, max_nodes: int) -> bool:
+    return edge_block * max_nodes <= _BLOCKED_LIMIT
 # Blocked max/min (fused select-reduce) measured SLOWER than the sorted
 # scatter for PNA at the ZINC flagship shape inside lax.scan (3.10 vs 2.13
 # ms/step, docs/RESULTS.md) — opt-in. The scatter-free softmax below is a
@@ -155,7 +165,8 @@ def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int,
         return edge_partitioned_segment_sum(
             data.reshape(data.shape[0], -1), segment_ids, num_segments, mesh,
             mask=mask, axis=ax).reshape((num_segments,) + data.shape[1:])
-    if (edge_block and max_nodes and data.shape[0] % edge_block == 0
+    if (edge_block and max_nodes and _blocked_ok(edge_block, max_nodes)
+            and data.shape[0] % edge_block == 0
             and num_segments == (data.shape[0] // edge_block) * max_nodes
             and jnp.issubdtype(data.dtype, jnp.floating)):
         return blocked_segment_sum(data, segment_ids, edge_block, max_nodes,
@@ -224,6 +235,7 @@ def segment_max(data: jax.Array, segment_ids: jax.Array, num_segments: int,
                 edge_block: Optional[int] = None,
                 max_nodes: Optional[int] = None) -> jax.Array:
     if (_BLOCKED_MINMAX and edge_block and max_nodes
+            and _blocked_ok(edge_block, max_nodes)
             and data.shape[0] % edge_block == 0
             and num_segments == (data.shape[0] // edge_block) * max_nodes
             and jnp.issubdtype(data.dtype, jnp.floating)):
@@ -243,6 +255,7 @@ def segment_min(data: jax.Array, segment_ids: jax.Array, num_segments: int,
                 edge_block: Optional[jax.Array] = None,
                 max_nodes: Optional[int] = None) -> jax.Array:
     if (_BLOCKED_MINMAX and edge_block and max_nodes
+            and _blocked_ok(edge_block, max_nodes)
             and data.shape[0] % edge_block == 0
             and num_segments == (data.shape[0] // edge_block) * max_nodes
             and jnp.issubdtype(data.dtype, jnp.floating)):
@@ -282,6 +295,7 @@ def segment_softmax(scores: jax.Array, segment_ids: jax.Array, num_segments: int
     round-3 code review; per-segment shift guarantees max-lane = 1.)
     """
     blocked = (_BLOCKED_SOFTMAX and edge_block and max_nodes
+               and _blocked_ok(edge_block, max_nodes)
                and scores.shape[0] % edge_block == 0
                and num_segments == (scores.shape[0] // edge_block) * max_nodes
                and jnp.issubdtype(scores.dtype, jnp.floating))
@@ -314,6 +328,7 @@ def gather(x: jax.Array, idx: jax.Array,
     backward ride the MXU as block matmuls (no TPU scatter in the VJP).
     """
     if (_BLOCKED_GATHER and edge_block and max_nodes
+            and _blocked_ok(edge_block, max_nodes)
             and idx.shape[0] % edge_block == 0
             and x.shape[0] == (idx.shape[0] // edge_block) * max_nodes
             and jnp.issubdtype(x.dtype, jnp.floating)):
