@@ -226,10 +226,18 @@ def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
 
+    from .parallel.mesh import set_current_mesh
+    from .ops.segment import set_edge_partition
     mesh = None
+    # reset module state from any earlier run in this process: a stale mesh
+    # or edge-partition routing would wrongly reroute single-device runs
+    # (fused-kernel eligibility, ring attention, segment dispatch) — the
+    # ambient mesh is per-run, not per-process
+    set_current_mesh(None)
+    set_edge_partition(False)
     if (cfg.parallel.data_axis > 1 or cfg.parallel.model_axis > 1
             or cfg.parallel.mesh_shape):
-        from .parallel.mesh import make_mesh, set_current_mesh
+        from .parallel.mesh import make_mesh
         mesh = make_mesh(cfg)
         set_current_mesh(mesh)  # ambient mesh for ring attention etc.
         log.info("mesh: %s", mesh)

@@ -20,8 +20,10 @@ fusion), not through data, init, or rng streams.
 Enabled by ``cfg.train.parallel_seeds: True`` + ``--repeat S``. Falls back to
 the sequential loop (returns False) when a constraint is unmet: needs the
 custom train mode, a DeviceLoader (device-resident arenas), no gradient
-accumulation, no mesh/pretrained/auto-resume, and an epoch-indexed scheduler
-(reduce_on_plateau would need per-seed LR divergence).
+accumulation, and no pretrained dir / profiler. reduce_on_plateau runs with
+per-seed host scheduler state injected as an (S,) LR hyperparam vector, and
+auto_resume restores every seed's checkpoint (all must sit at one common
+epoch — a mixed set means a sequential/partial history and falls back).
 """
 from __future__ import annotations
 
@@ -52,14 +54,16 @@ def _slice_state(state: TrainState, i: int) -> TrainState:
     return jax.tree_util.tree_map(lambda l: l[i], state)
 
 
-def _set_lr_stacked(opt_state, lr: float, num_seeds: int) -> None:
-    """set_lr for a seed-stacked opt_state: every seed gets the same
-    epoch-indexed LR, written as an (S,) leaf so vmap's leading axis holds."""
+def _set_lr_stacked(opt_state, lr, num_seeds: int) -> None:
+    """set_lr for a seed-stacked opt_state, written as an (S,) leaf so
+    vmap's leading axis holds. ``lr`` is a scalar (same epoch-indexed LR for
+    every seed) or a length-S vector (per-seed LR — reduce_on_plateau)."""
+    lr_vec = jnp.broadcast_to(jnp.asarray(lr, jnp.float32), (num_seeds,))
+
     def walk(s):
         if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
             h = s.hyperparams["learning_rate"]
-            s.hyperparams["learning_rate"] = jnp.full((num_seeds,), lr,
-                                                      dtype=h.dtype)
+            s.hyperparams["learning_rate"] = lr_vec.astype(h.dtype)
             return True
         if isinstance(s, (tuple, list)):
             return any([walk(x) for x in s])
@@ -105,10 +109,6 @@ def run_multiseed(cfg, run_ids: List[int], seeds: List[int]) -> bool:
         return bail("batch_accumulation > 1")
     if cfg.pretrained.dir:
         return bail("fine-tuning from a pretrained dir")
-    if cfg.optim.scheduler == "reduce_on_plateau":
-        return bail("reduce_on_plateau needs per-seed LR state")
-    if cfg.train.auto_resume:
-        return bail("auto_resume restores one run's checkpoint")
     if cfg.train.get("profiler", False):
         return bail("profiler traces are per-run")
 
@@ -142,7 +142,11 @@ def run_multiseed(cfg, run_ids: List[int], seeds: List[int]) -> bool:
                                in_axes=(0, None)))
 
     schedule = build_schedule(cfg)
-    assert not isinstance(schedule, ReduceLROnPlateau)
+    plateau = isinstance(schedule, ReduceLROnPlateau)
+    # per-seed host-side plateau schedulers — each seed's LR diverges with
+    # its own val history, injected as an (S,) hyperparam vector (VERDICT r3
+    # #5; reference extra_optimizers.py:44-89 semantics per seed)
+    scheds = [build_schedule(cfg) for _ in seeds] if plateau else None
     metric = resolve_metric_best(cfg)
     agg = cfg.metric_agg
     if cfg.metric_best == "auto" and metric in ("mae", "mse", "rmse", "loss"):
@@ -160,7 +164,33 @@ def run_multiseed(cfg, run_ids: List[int], seeds: List[int]) -> bool:
             l.params = n_params
         loggers.append(lg)
 
+    start_epoch = 0
+    if cfg.train.auto_resume:
+        # per-seed restore: each run_dir's latest checkpoint (all saved by
+        # the same parallel run, so they sit at one common epoch; mixed
+        # epochs mean a sequential/partial history — fall back)
+        from .loop import load_ckpt
+        loaded = [load_ckpt(rd, _slice_state(state, si))
+                  for si, rd in enumerate(run_dirs)]
+        eps = {ep for _, ep, _ in loaded}
+        if len(eps) != 1:
+            return bail("auto_resume: per-seed checkpoints at different "
+                        f"epochs {sorted(eps)}")
+        start_epoch = eps.pop()
+        if start_epoch > 0:
+            state = _stack_states([st for st, _, _ in loaded])
+            if plateau:
+                for sc, (_, _, ss) in zip(scheds, loaded):
+                    if ss:
+                        sc.load_state_dict(ss)
+            log.info("parallel seeds: resumed all %d seeds at epoch %d",
+                     S, start_epoch)
+
     rngs = jnp.stack([run_key(cfg, s + 1234) for s in seeds])
+    for _ in range(start_epoch):
+        # replay the per-epoch split chain so the resumed rng stream matches
+        # an uninterrupted run's
+        rngs = jax.vmap(jax.random.split)(rngs)[:, 0]
     B = train_loader.batch_size
     n = train_loader.arenas.num_graphs_total
     K = max(1, cfg.train.steps_per_dispatch)
@@ -172,9 +202,12 @@ def run_multiseed(cfg, run_ids: List[int], seeds: List[int]) -> bool:
         {sp: [] for sp in loaders} for _ in range(S)]
     epoch_times: List[float] = []
 
-    for epoch in range(cfg.optim.max_epoch):
-        lr = schedule(epoch)
-        _set_lr_stacked(state.opt_state, lr, S)
+    for epoch in range(start_epoch, cfg.optim.max_epoch):
+        if plateau:
+            lrs = np.asarray([sc.lr for sc in scheds], np.float32)
+        else:
+            lrs = np.full((S,), schedule(epoch), np.float32)
+        _set_lr_stacked(state.opt_state, lrs, S)
 
         # per-seed epoch shuffle — the same (seed + loader.epoch) stream
         # DeviceLoader/train_epoch_scan use (the example-batch draw above
@@ -213,7 +246,7 @@ def run_multiseed(cfg, run_ids: List[int], seeds: List[int]) -> bool:
                     rows.append((preds[si][k],
                                  trues[si][k] if trues is not None else None,
                                  masks[si][k], losses[si][k], real))
-            _feed_rows(loggers[si]["train"], rows, lr, wall)
+            _feed_rows(loggers[si]["train"], rows, float(lrs[si]), wall)
             history[si]["train"].append(
                 loggers[si]["train"].write_epoch(epoch))
 
@@ -255,6 +288,8 @@ def run_multiseed(cfg, run_ids: List[int], seeds: List[int]) -> bool:
                 val_hist = history[si].get("val") or history[si]["train"]
                 cur = val_hist[-1].get(metric, val_hist[-1]["loss"])
                 curs.append(cur)
+                if plateau:
+                    scheds[si].update(cur)   # per-seed LR divergence
                 if best_val[si] is None or better(cur, best_val[si]):
                     best_val[si] = cur
                     best_epoch[si] = epoch
@@ -264,18 +299,22 @@ def run_multiseed(cfg, run_ids: List[int], seeds: List[int]) -> bool:
                         # only the last overlaps training — acceptable at
                         # multiseed's small-recipe scale
                         save_ckpt(run_dirs[si], _slice_state(state, si),
-                                  epoch, None,
+                                  epoch,
+                                  scheds[si].state_dict() if plateau
+                                  else None,
                                   async_save=cfg.train.get("ckpt_async",
                                                            True))
             log.info("epoch %d lr %.2e val %s=%.5f ±%.5f over %d seeds "
-                     "(best %s) epoch_time %.2fs", epoch, lr, metric,
+                     "(best %s) epoch_time %.2fs", epoch, float(lrs.mean()),
+                     metric,
                      float(np.mean(curs)), float(np.std(curs)), S,
                      ["%.5f@%d" % (b, e) for b, e in zip(best_val,
                                                          best_epoch)], wall)
         if cfg.train.enable_ckpt and not cfg.train.ckpt_best \
                 and is_ckpt_epoch(cfg, epoch):
             for si in range(S):
-                save_ckpt(run_dirs[si], _slice_state(state, si), epoch, None,
+                save_ckpt(run_dirs[si], _slice_state(state, si), epoch,
+                          scheds[si].state_dict() if plateau else None,
                           async_save=cfg.train.get("ckpt_async", True))
 
     from .loop import wait_for_ckpts

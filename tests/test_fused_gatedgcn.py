@@ -111,6 +111,9 @@ def test_fused_matches_xla_layer(shape):
 
 def test_eligibility_gates():
     from graphgps_tpu.ops.pallas.fused_gatedgcn import fused_gatedgcn_eligible
+    from graphgps_tpu.parallel.mesh import set_current_mesh
+
+    set_current_mesh(None)  # isolate from mesh tests in the same worker
 
     batch, x, e, _, _ = _blocked_batch(2, 8, 16, 128)
     assert fused_gatedgcn_eligible(batch, x, e, 128, False)
