@@ -72,7 +72,9 @@ class GPSLayer(nn.Module):
         """x_in + dropout(v): fused Pallas kernel (on-chip PRNG, one pass)
         when the dropout is active and the shape qualifies; plain XLA
         otherwise. Semantically identical either way (bits differ)."""
-        from ..ops.pallas.fused_tail import fused_drop_add, tail_eligible
+        from ..ops.pallas.fused_tail import (fused_drop_add_spmd
+                                             as fused_drop_add,
+                                             tail_eligible)
 
         rate = self.dropout if train else 0.0
         if (rate > 0.0 and v.ndim == 2
@@ -161,13 +163,14 @@ class GPSLayer(nn.Module):
             # A/B, docs/RESULTS.md round 4)
             from ..ops.pallas.fused_gps_attn import (fused_auto_wins,
                                                      fused_eligible,
-                                                     fused_gps_attention)
-            from ..parallel.mesh import current_mesh
+                                                     fused_gps_attention_spmd
+                                                     as fused_gps_attention)
+            from ..ops.pallas.spmd import dp_compatible
             use_fused = (gt == "Transformer"
                          and jax.default_backend() == "tpu"
-                         and current_mesh() is None  # not shard_map-wrapped
-                         # yet: under a mesh the XLA path is the SPMD-correct
-                         # one (same rule as fused_gatedgcn_eligible)
+                         and dp_compatible(B)  # no mesh, or pure-DP shard_map
+                         # (ops/pallas/spmd.py); TP meshes shard qkv_kernel
+                         # and keep the XLA path
                          and self.attn_impl in ("fused", "auto")
                          and fused_eligible(
                              N, d, H, bias=None,
@@ -309,7 +312,8 @@ class GPSLayer(nn.Module):
         h = sum(outs) if outs else x
 
         # ---- FFN --------------------------------------------------------------
-        from ..ops.pallas.fused_tail import fused_ffn, tail_eligible
+        from ..ops.pallas.fused_tail import (fused_ffn_spmd as fused_ffn,
+                                             tail_eligible)
         a = get_act(self.act)
         dense1, dense2 = nn.Dense(d * 2), nn.Dense(d)
         if (tail_eligible(h.shape[0], d, self.act) and (d * 2) % 128 == 0

@@ -59,8 +59,9 @@ class GatedGCNLayer(nn.Module):
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x, e, train: bool):
-        from ..ops.pallas.fused_gatedgcn import (fused_gatedgcn,
-                                                 fused_gatedgcn_eligible)
+        from ..ops.pallas.fused_gatedgcn import (fused_gatedgcn_eligible,
+                                                 fused_gatedgcn_spmd
+                                                 as fused_gatedgcn)
 
         x_in, e_in = x, e
         ggcn_moments = None
@@ -124,7 +125,9 @@ class GatedGCNLayer(nn.Module):
             num, den = nd[:, :self.dim], nd[:, self.dim:]
             x_new = Ax + num / (den + 1e-6)
 
-        from ..ops.pallas.fused_tail import fused_pre_tail, tail_eligible
+        from ..ops.pallas.fused_tail import (fused_pre_tail_spmd
+                                             as fused_pre_tail,
+                                             tail_eligible)
 
         use_ft = (self.batch_norm and self.residual
                   and x_in.shape == x_new.shape and e_in.shape == e_gate.shape

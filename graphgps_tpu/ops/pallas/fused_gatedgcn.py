@@ -361,6 +361,36 @@ def _vjp_bwd(res, g):
 fused_gatedgcn.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def fused_gatedgcn_spmd(x, e, s_loc, r_loc, emask, nmask, cx, cg,
+                        wn, bn, wc, bc):
+    """``fused_gatedgcn`` under an ambient mesh: plain call single-device;
+    shard_map over 'data' on a pure-DP mesh (batch args sharded, weights
+    replicated — their grads psum via the shard_map transpose; the moment
+    partials psum inside the body so they leave replicated)."""
+    from .spmd import dp_mesh, dp_shard_map
+
+    mesh = dp_mesh(x.shape[0])
+    if mesh is None:
+        return fused_gatedgcn(x, e, s_loc, r_loc, emask, nmask, cx, cg,
+                              wn, bn, wc, bc)
+    P = jax.sharding.PartitionSpec
+    b3 = P("data", None, None)
+    b2 = P("data", None)
+    rep = P(None)
+
+    def body(x, e, s, r, em, nm, cx, cg, wn, bn, wc, bc):
+        xo, gate, px, pg = fused_gatedgcn(x, e, s, r, em, nm, cx, cg,
+                                          wn, bn, wc, bc)
+        return (xo, gate, jax.lax.psum(px, "data"),
+                jax.lax.psum(pg, "data"))
+
+    return dp_shard_map(
+        body, mesh,
+        in_specs=(b3, b3, b2, b2, b2, b2, rep, rep, rep, rep, rep, rep),
+        out_specs=(b3, b3, rep, rep),
+    )(x, e, s_loc, r_loc, emask, nmask, cx, cg, wn, bn, wc, bc)
+
+
 def fused_gatedgcn_eligible(batch, x, e, dim: int,
                             equivstable_pe: bool) -> bool:
     """Blocked arena layout present, lane-aligned square projections, no
@@ -369,11 +399,11 @@ def fused_gatedgcn_eligible(batch, x, e, dim: int,
     env = _os.environ.get("GGPS_FUSED_GGCN")
     if env == "0":
         return False
-    from ...parallel.mesh import current_mesh
-    if current_mesh() is not None:
-        # not yet shard_map-wrapped: under a mesh the grid-accumulated
-        # weight grads and blocked layout are not SPMD-partitionable —
-        # the XLA path (fully SPMD-correct) serves multi-chip runs
+    from .spmd import dp_compatible
+    if not dp_compatible(batch.num_graphs):
+        # pure data-parallel meshes compose via fused_gatedgcn_spmd; under
+        # tensor/expert parallelism the XLA path (which the SPMD
+        # partitioner handles natively) serves
         return False
     return (batch.edge_block is not None
             and e is not None

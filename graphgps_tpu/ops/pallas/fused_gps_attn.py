@@ -354,6 +354,36 @@ def _vjp_bwd(H, rate, res, g):
 fused_gps_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def fused_gps_attention_spmd(x, kmask, wqkv, bqkv, wo, bo, seed,
+                             num_heads: int, dropout_rate: float = 0.0):
+    """``fused_gps_attention`` under an ambient mesh: plain call
+    single-device; shard_map over 'data' on a pure-DP mesh (graphs sharded,
+    weights replicated — their grads psum via the shard_map transpose;
+    per-shard dropout streams decorrelated)."""
+    import jax.numpy as jnp
+
+    from .spmd import dp_mesh, dp_shard_map, fold_shard_seed
+
+    mesh = dp_mesh(x.shape[0])
+    if mesh is None:
+        return fused_gps_attention(x, kmask, wqkv, bqkv, wo, bo, seed,
+                                   num_heads, dropout_rate)
+    P = jax.sharding.PartitionSpec
+    b3 = P("data", None, None)
+    b2 = P("data", None)
+    rep = P(None)
+
+    def body(x, kmask, wqkv, bqkv, wo, bo, seed):
+        return fused_gps_attention(x, kmask, wqkv, bqkv, wo, bo,
+                                   fold_shard_seed(seed), num_heads,
+                                   dropout_rate)
+
+    return dp_shard_map(body, mesh,
+                        in_specs=(b3, b2, rep, rep, rep, rep, P()),
+                        out_specs=b3)(x, kmask, wqkv, bqkv, wo, bo,
+                                      jnp.asarray(seed, jnp.int32))
+
+
 def fused_eligible(N: int, d: int, H: int, *, bias, return_attn: bool) -> bool:
     """Shape/feature envelope of the fused kernel: small sequences (the
     (N, H*N) logits block must sit in VMEM), merged head dims lane-aligned,

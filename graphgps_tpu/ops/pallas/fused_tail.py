@@ -462,13 +462,75 @@ fused_ffn.defvjp(_ffn_vjp_fwd, _ffn_vjp_bwd)
 
 def tail_eligible(R: int, d: int, act: str = "identity") -> bool:
     """Shared gate for the tail kernels: lane-aligned width, a valid row
-    block, supported activation, and no active mesh (the kernels are not
-    shard_map-wrapped yet — under SPMD the XLA paths serve)."""
+    block, supported activation, and either no mesh or a pure-DP mesh that
+    divides the rows (the shard_map wrappers below; tensor-parallel meshes
+    keep the XLA paths, whose weights they shard)."""
     import os
 
-    from ...parallel.mesh import current_mesh
+    from .spmd import dp_compatible, dp_mesh
 
     if os.environ.get("GGPS_FUSED_TAIL") == "0":
         return False
-    return (current_mesh() is None and d % 128 == 0
-            and act in SUPPORTED_ACTS and tail_block(R) is not None)
+    if not dp_compatible(R):
+        return False
+    mesh = dp_mesh(R)
+    r_local = R // mesh.shape["data"] if mesh is not None else R
+    return (d % 128 == 0 and act in SUPPORTED_ACTS
+            and tail_block(r_local) is not None)
+
+
+def fused_pre_tail_spmd(x_in, v, mu, inv, gamma, beta, seed, rate, act):
+    from .spmd import dp_mesh, dp_shard_map, fold_shard_seed
+
+    mesh = dp_mesh(x_in.shape[0])
+    if mesh is None:
+        return fused_pre_tail(x_in, v, mu, inv, gamma, beta, seed, rate, act)
+    P = jax.sharding.PartitionSpec
+    row = P("data", None)
+    rep = P(None)
+
+    def body(x_in, v, mu, inv, gamma, beta, seed):
+        return fused_pre_tail(x_in, v, mu, inv, gamma, beta,
+                              fold_shard_seed(seed), rate, act)
+
+    return dp_shard_map(body, mesh,
+                        in_specs=(row, row, rep, rep, rep, rep, P()),
+                        out_specs=row)(x_in, v, mu, inv, gamma, beta,
+                                       jnp.asarray(seed, jnp.int32))
+
+
+def fused_drop_add_spmd(x_in, v, seed, rate):
+    from .spmd import dp_mesh, dp_shard_map, fold_shard_seed
+
+    mesh = dp_mesh(x_in.shape[0])
+    if mesh is None:
+        return fused_drop_add(x_in, v, seed, rate)
+    P = jax.sharding.PartitionSpec
+    row = P("data", None)
+
+    def body(x_in, v, seed):
+        return fused_drop_add(x_in, v, fold_shard_seed(seed), rate)
+
+    return dp_shard_map(body, mesh, in_specs=(row, row, P()),
+                        out_specs=row)(x_in, v,
+                                       jnp.asarray(seed, jnp.int32))
+
+
+def fused_ffn_spmd(h, w1, b1, w2, b2, seed, rate, act):
+    from .spmd import dp_mesh, dp_shard_map, fold_shard_seed
+
+    mesh = dp_mesh(h.shape[0])
+    if mesh is None:
+        return fused_ffn(h, w1, b1, w2, b2, seed, rate, act)
+    P = jax.sharding.PartitionSpec
+    row = P("data", None)
+    rep = P(None)
+
+    def body(h, w1, b1, w2, b2, seed):
+        return fused_ffn(h, w1, b1, w2, b2, fold_shard_seed(seed),
+                         rate, act)
+
+    return dp_shard_map(body, mesh,
+                        in_specs=(row, rep, rep, rep, rep, P()),
+                        out_specs=row)(h, w1, b1, w2, b2,
+                                       jnp.asarray(seed, jnp.int32))

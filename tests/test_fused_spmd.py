@@ -1,0 +1,165 @@
+"""Fused Pallas kernels under a pure-DP mesh (shard_map wrappers,
+ops/pallas/spmd.py): outputs, weight grads (psum'd via the shard_map
+transpose), and BatchNorm moment partials must match the single-device
+fused path exactly (f32 interpret mode on the 8-device CPU mesh)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from graphgps_tpu.parallel.mesh import make_mesh, set_current_mesh
+
+from tests.test_fused_gatedgcn import _blocked_batch
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+
+
+@pytest.fixture
+def dp_mesh_ctx():
+    mesh = make_mesh(devices=jax.devices()[:8])   # (8 data, 1 model)
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    set_current_mesh(mesh)
+    yield mesh
+    set_current_mesh(None)
+
+
+def test_gatedgcn_layer_dp_parity(dp_mesh_ctx):
+    """Full GatedGCNLayer (fused core + moments + fused tails) on the mesh
+    vs single-device: loss, grads, batch_stats updates identical."""
+    from graphgps_tpu.models.local_gnn import GatedGCNLayer
+
+    batch, x, e, nmask, emask = _blocked_batch(8, 8, 16, 128, seed=11)
+    layer = GatedGCNLayer(dim=128, dropout=0.0, residual=True,
+                          batch_norm=True, act="gelu")
+
+    def run(mesh_on):
+        set_current_mesh(dp_mesh_ctx if mesh_on else None)
+        try:
+            var = layer.init(jax.random.PRNGKey(0), batch, x, e, True)
+
+            def loss(params, x, e):
+                (xo, eo), upd = layer.apply(
+                    {"params": params, "batch_stats": var["batch_stats"]},
+                    batch, x, e, True, mutable=["batch_stats"])
+                nm = batch.node_mask[:, None]
+                em = batch.edge_mask[:, None]
+                return (jnp.sum((xo * nm) ** 2) + jnp.sum((eo * em) ** 2),
+                        upd)
+
+            (val, upd), g = jax.value_and_grad(loss, has_aux=True)(
+                var["params"], x, e)
+            return var, val, upd, g
+        finally:
+            set_current_mesh(dp_mesh_ctx)
+
+    var_m, val_m, upd_m, g_m = run(mesh_on=True)
+    var_s, val_s, upd_s, g_s = run(mesh_on=False)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        var_m, var_s)
+    np.testing.assert_allclose(float(val_m), float(val_s), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        upd_m, upd_s)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4),
+        g_m, g_s)
+
+
+def test_attention_spmd_parity(dp_mesh_ctx):
+    from graphgps_tpu.ops.pallas.fused_gps_attn import (
+        fused_gps_attention, fused_gps_attention_spmd)
+    from tests.test_fused_attn import _setup
+
+    B, N, d, H = 8, 16, 128, 4
+    x, kmask, wqkv, bqkv, wo, bo = _setup(B, N, d, H, seed=5)
+    seed = jnp.zeros((), jnp.int32)
+
+    def loss(fn):
+        def f(x, wqkv, wo):
+            return jnp.sum((fn(x, kmask, wqkv, bqkv, wo, bo, seed, H, 0.0)
+                            * kmask[..., None]) ** 2)
+        return f
+
+    y_m = fused_gps_attention_spmd(x, kmask, wqkv, bqkv, wo, bo, seed, H, 0.0)
+    set_current_mesh(None)
+    y_s = fused_gps_attention(x, kmask, wqkv, bqkv, wo, bo, seed, H, 0.0)
+    set_current_mesh(dp_mesh_ctx)
+
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_s),
+                               rtol=1e-5, atol=1e-6)
+
+    g_m = jax.grad(loss(fused_gps_attention_spmd), argnums=(0, 1, 2))(
+        x, wqkv, wo)
+    set_current_mesh(None)
+    g_s = jax.grad(loss(fused_gps_attention), argnums=(0, 1, 2))(x, wqkv, wo)
+    set_current_mesh(dp_mesh_ctx)
+    for a, b in zip(g_m, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_ffn_spmd_parity(dp_mesh_ctx):
+    from graphgps_tpu.ops.pallas.fused_tail import fused_ffn, fused_ffn_spmd
+
+    rng = np.random.default_rng(7)
+    R, d = 64, 128
+    h = jnp.asarray(rng.standard_normal((R, d)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((d, 2 * d)) / np.sqrt(d), jnp.float32)
+    b1 = jnp.zeros((2 * d,))
+    w2 = jnp.asarray(rng.standard_normal((2 * d, d)) / np.sqrt(2 * d),
+                     jnp.float32)
+    b2 = jnp.zeros((d,))
+    seed = jnp.zeros((), jnp.int32)
+
+    y_m = fused_ffn_spmd(h, w1, b1, w2, b2, seed, 0.0, "gelu")
+    set_current_mesh(None)
+    y_s = fused_ffn(h, w1, b1, w2, b2, seed, 0.0, "gelu")
+    set_current_mesh(dp_mesh_ctx)
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_s),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        return lambda h, w1, w2: jnp.sum(
+            fn(h, w1, b1, w2, b2, seed, 0.0, "gelu") ** 2)
+
+    g_m = jax.grad(loss(fused_ffn_spmd), argnums=(0, 1, 2))(h, w1, w2)
+    set_current_mesh(None)
+    g_s = jax.grad(loss(fused_ffn), argnums=(0, 1, 2))(h, w1, w2)
+    set_current_mesh(dp_mesh_ctx)
+    for a, b in zip(g_m, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_drop_add_spmd_mask_replay(dp_mesh_ctx):
+    """Per-shard dropout streams are decorrelated but the backward still
+    replays the exact forward mask: grad == (out - x_in) / v."""
+    from graphgps_tpu.ops.pallas.fused_tail import fused_drop_add_spmd
+
+    rng = np.random.default_rng(9)
+    R, d = 64, 128
+    x_in = jnp.asarray(rng.standard_normal((R, d)), jnp.float32)
+    v = jnp.abs(jnp.asarray(rng.standard_normal((R, d)), jnp.float32)) + 0.5
+    seed = jnp.asarray(3, jnp.int32)
+    rate = 0.3
+
+    out = fused_drop_add_spmd(x_in, v, seed, rate)
+    eff = (np.asarray(out) - np.asarray(x_in)) / np.asarray(v)
+    frac = float((eff == 0).mean())
+    assert 0.15 < frac < 0.45
+    # shards draw DIFFERENT masks (decorrelated seeds): the per-shard
+    # dropped fractions must not all be identical patterns
+    per_shard = (eff == 0).reshape(8, R // 8, d)
+    assert not all(np.array_equal(per_shard[0], per_shard[i])
+                   for i in range(1, 8))
+
+    g = jax.grad(lambda v: jnp.sum(fused_drop_add_spmd(x_in, v, seed,
+                                                       rate)))(v)
+    np.testing.assert_allclose(np.asarray(g), eff, rtol=1e-4, atol=1e-5)
