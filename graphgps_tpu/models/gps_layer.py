@@ -312,12 +312,12 @@ class GPSLayer(nn.Module):
         h = sum(outs) if outs else x
 
         # ---- FFN --------------------------------------------------------------
-        from ..ops.pallas.fused_tail import (fused_ffn_spmd as fused_ffn,
+        from ..ops.pallas.fused_tail import (fused_ffn_padded as fused_ffn,
                                              tail_eligible)
         a = get_act(self.act)
         dense1, dense2 = nn.Dense(d * 2), nn.Dense(d)
-        if (tail_eligible(h.shape[0], d, self.act) and (d * 2) % 128 == 0
-                and h.ndim == 2):
+        if (tail_eligible(h.shape[0], d, self.act) and h.ndim == 2
+                and (d % 128 == 0 or (train and self.dropout > 0))):
             # whole FFN block in one Pallas kernel (both matmuls, act, both
             # dropouts, residual — the (R, 2d) intermediate never leaves
             # VMEM). Probe rows create the identical Dense_0/Dense_1 params.

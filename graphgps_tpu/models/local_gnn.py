@@ -60,7 +60,7 @@ class GatedGCNLayer(nn.Module):
     @nn.compact
     def __call__(self, batch: GraphBatch, x, e, train: bool):
         from ..ops.pallas.fused_gatedgcn import (fused_gatedgcn_eligible,
-                                                 fused_gatedgcn_spmd
+                                                 fused_gatedgcn_padded
                                                  as fused_gatedgcn)
 
         x_in, e_in = x, e
@@ -77,8 +77,6 @@ class GatedGCNLayer(nn.Module):
                 m(src[:1])
             k = lambda m: m.variables["params"]["kernel"]   # noqa: E731
             b = lambda m: m.variables["params"]["bias"]     # noqa: E731
-            wn = jnp.concatenate([k(dA), k(dD), k(dE), k(dB)], axis=1)
-            bn = jnp.concatenate([b(dA), b(dD), b(dE), b(dB)])
             B, N, E = batch.num_graphs, batch.max_nodes, batch.edge_block
             base = (jnp.arange(B, dtype=jnp.int32) * N)[:, None]
             s_loc = batch.senders.reshape(B, E).astype(jnp.int32) - base
@@ -97,7 +95,9 @@ class GatedGCNLayer(nn.Module):
                     bs["Norm_1"]["MaskedBatchNorm_0"]["mean"])
             xp, gate, px, pg = fused_gatedgcn(
                 x.reshape(B, N, self.dim), e.reshape(B, E, self.dim),
-                s_loc, r_loc, em, nm, cx, cg, wn, bn, k(dC), b(dC))
+                s_loc, r_loc, em, nm, cx, cg,
+                k(dA), k(dD), k(dE), k(dB), b(dA), b(dD), b(dE), b(dB),
+                k(dC), b(dC))
             x_new = xp.reshape(B * N, self.dim)
             e_gate = gate.reshape(B * E, self.dim)
             ggcn_moments = (px, pg, cx, cg)
@@ -125,12 +125,17 @@ class GatedGCNLayer(nn.Module):
             num, den = nd[:, :self.dim], nd[:, self.dim:]
             x_new = Ax + num / (den + 1e-6)
 
-        from ..ops.pallas.fused_tail import (fused_pre_tail_spmd
+        from ..ops.pallas.fused_tail import (fused_pre_tail_padded
                                              as fused_pre_tail,
                                              tail_eligible)
 
         use_ft = (self.batch_norm and self.residual
                   and x_in.shape == x_new.shape and e_in.shape == e_gate.shape
+                  # non-lane-aligned widths pay a pad overhead the fusion
+                  # only recoups when the dropout PRNG is active (device
+                  # A/B: VOC d=96 rate=0 loses 0.9 ms, wins with dropout)
+                  and (self.dim % 128 == 0
+                       or (train and self.dropout > 0))
                   and tail_eligible(x_new.shape[0], self.dim, self.act)
                   and tail_eligible(e_gate.shape[0], self.dim, self.act))
         if use_ft:

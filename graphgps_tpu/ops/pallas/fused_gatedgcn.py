@@ -216,22 +216,38 @@ def _bwd_kernel(x_ref, e_ref, s_ref, r_ref, em_ref, nm_ref, wn_ref, bn_ref,
         dbc_ref[:] += dbc
 
 
-def _pick_block(B: int, N: int, E: int, d: int) -> int:
-    """Graphs per grid step. Per-graph VMEM residents are ~(12·N + 14·E)·d·4
-    bytes across fwd+bwd program values; budget a few MB and keep G | B.
+def pick_block(B: int, N: int, E: int, d: int):
+    """Graphs per grid step, or None when no legal block exists. Per-graph
+    VMEM residents are ~(12·N + 14·E)·d·4 bytes across fwd+bwd program
+    values; budget a few MB, keep G | B, and keep G a MULTIPLE OF 8 — the
+    kernels' ``pl.ds(i*G, G)`` row slices of the resident (B, E)/(B, N)
+    index/mask arrays need provably 8-aligned sublane offsets (measured:
+    G=16 and G=8 compile, G∈{1,2,4} fail Mosaic's alignment check at the
+    VOC shape). B < 8 graphs is allowed as a single full block (offset 0).
     GGPS_GGCN_G overrides for A/B tuning."""
     env = _os.environ.get("GGPS_GGCN_G")
     if env:
         G = min(int(env), B)
-    else:
-        # Byte model overestimates (Mosaic reuses buffers; dots run bf16):
-        # measured at the pcqm shape (N=32, E=64, d=256), G=16 compiles and
-        # is the fastest point (G=32 overflows VMEM), so the budget is set
-        # to land there while still scaling down for bigger blocks.
-        per_graph = (12 * N + 14 * E) * d * 4
-        G = max(1, min(B, (24 << 20) // max(per_graph, 1)))
-    while B % G:
-        G -= 1
+        while B % G:
+            G -= 1
+        return G
+    # Byte model overestimates (Mosaic reuses buffers; dots run bf16):
+    # measured at the pcqm shape (N=32, E=64, d=256), G=16 compiles and
+    # is the fastest point (G=32 overflows VMEM), so the budget is set
+    # to land there while still scaling down for bigger blocks.
+    per_graph = (12 * N + 14 * E) * d * 4
+    cap = max(1, min(B, (24 << 20) // max(per_graph, 1)))
+    if B <= cap:
+        return B                 # single/whole-batch blocks: offset 0 only
+    G = cap - cap % 8            # largest 8-multiple under the VMEM cap
+    while G >= 8 and B % G:
+        G -= 8
+    return G if G >= 8 else None
+
+
+def _pick_block(B: int, N: int, E: int, d: int) -> int:
+    G = pick_block(B, N, E, d)
+    assert G is not None, "caller must gate on pick_block(...) first"
     return G
 
 
@@ -391,6 +407,42 @@ def fused_gatedgcn_spmd(x, e, s_loc, r_loc, emask, nmask, cx, cg,
     )(x, e, s_loc, r_loc, emask, nmask, cx, cg, wn, bn, wc, bc)
 
 
+def _ceil128(d: int) -> int:
+    return -(-d // 128) * 128
+
+
+def _pad_last(a, dp: int):
+    d = a.shape[-1]
+    if d == dp:
+        return a
+    return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, dp - d)])
+
+
+def fused_gatedgcn_padded(x, e, s_loc, r_loc, emask, nmask, cx, cg,
+                          wA, wD, wE, wB, bA, bD, bE, bB, wc, bc):
+    """``fused_gatedgcn_spmd`` for ANY hidden width: non-128-multiple dims
+    are zero-padded to the next lane multiple (zero lanes flow through the
+    gate as exact zeros — sigmoid(0)·0 messages, 0 numerators — and are
+    sliced off, incl. the moment partials). Takes the five reference
+    Linears' kernels/biases separately so each (d, d) block pads square
+    before packing into the kernel's [A|D|E|B] layout."""
+    d = x.shape[-1]
+    dp = _ceil128(d)
+    pk = lambda w: jnp.pad(w, ((0, dp - d), (0, dp - d)))  # noqa: E731
+    pb = lambda b: _pad_last(b, dp)                        # noqa: E731
+    wn = jnp.concatenate([pk(wA), pk(wD), pk(wE), pk(wB)], axis=1)
+    bn = jnp.concatenate([pb(bA), pb(bD), pb(bE), pb(bB)])
+    xo, gate, px, pg = fused_gatedgcn_spmd(
+        _pad_last(x, dp), _pad_last(e, dp), s_loc, r_loc, emask, nmask,
+        _pad_last(cx, dp), _pad_last(cg, dp), wn, bn, pk(wc), pb(bc))
+    if dp != d:
+        xo = xo[..., :d]
+        gate = gate[..., :d]
+        px = jnp.concatenate([px[:, :d], px[:, dp:dp + d]], axis=1)
+        pg = jnp.concatenate([pg[:, :d], pg[:, dp:dp + d]], axis=1)
+    return xo, gate, px, pg
+
+
 def fused_gatedgcn_eligible(batch, x, e, dim: int,
                             equivstable_pe: bool) -> bool:
     """Blocked arena layout present, lane-aligned square projections, no
@@ -412,7 +464,14 @@ def fused_gatedgcn_eligible(batch, x, e, dim: int,
             # blow-up bound (ops/segment._blocked_ok): long-graph shapes
             # would waste ~max_nodes× MXU work per gather
             and batch.edge_block * batch.max_nodes <= (1 << 21)
+            # a legal (8-aligned, VMEM-fitting) graph block must exist at
+            # the PADDED width
+            and pick_block(batch.num_graphs, batch.max_nodes,
+                           batch.edge_block, _ceil128(dim)) is not None
             and x.shape[-1] == dim and e.shape[-1] == dim
-            and dim % 128 == 0
+            # any width ≥ 64: non-128 multiples run through the zero-pad
+            # wrapper (≤2× lane overhead); below 64 the padding waste
+            # overtakes the fusion win
+            and dim >= 64
             and batch.max_nodes % 8 == 0
             and batch.edge_block % 8 == 0)

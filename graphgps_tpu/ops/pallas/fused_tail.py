@@ -475,8 +475,48 @@ def tail_eligible(R: int, d: int, act: str = "identity") -> bool:
         return False
     mesh = dp_mesh(R)
     r_local = R // mesh.shape["data"] if mesh is not None else R
-    return (d % 128 == 0 and act in SUPPORTED_ACTS
+    # widths below 64 pay >2x lane padding — the fusion win inverts there
+    return (d >= 64 and act in SUPPORTED_ACTS
             and tail_block(r_local) is not None)
+
+
+def _ceil128(d: int) -> int:
+    return -(-d // 128) * 128
+
+
+def _pad_last(a, dp: int):
+    d = a.shape[-1]
+    if d == dp:
+        return a
+    return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, dp - d)])
+
+
+def fused_pre_tail_padded(x_in, v, mu, inv, gamma, beta, seed, rate, act):
+    """Zero-pad a non-128-multiple width to the next lane multiple (padded
+    lanes compute exact zeros through norm·act: γ=β=μ=inv=0) and slice."""
+    d = v.shape[-1]
+    dp = _ceil128(d)
+    if dp == d:
+        return fused_pre_tail_spmd(x_in, v, mu, inv, gamma, beta, seed,
+                                   rate, act)
+    out = fused_pre_tail_spmd(
+        _pad_last(x_in, dp), _pad_last(v, dp), _pad_last(mu, dp),
+        _pad_last(inv, dp), _pad_last(gamma, dp), _pad_last(beta, dp),
+        seed, rate, act)
+    return out[..., :d]
+
+
+def fused_ffn_padded(h, w1, b1, w2, b2, seed, rate, act):
+    d = h.shape[-1]
+    dh = w1.shape[1]
+    dp, dhp = _ceil128(d), _ceil128(dh)
+    if dp == d and dhp == dh:
+        return fused_ffn_spmd(h, w1, b1, w2, b2, seed, rate, act)
+    w1p = jnp.pad(w1, ((0, dp - d), (0, dhp - dh)))
+    w2p = jnp.pad(w2, ((0, dhp - dh), (0, dp - d)))
+    out = fused_ffn_spmd(_pad_last(h, dp), w1p, _pad_last(b1, dhp), w2p,
+                         _pad_last(b2, dp), seed, rate, act)
+    return out[..., :d]
 
 
 def fused_pre_tail_spmd(x_in, v, mu, inv, gamma, beta, seed, rate, act):

@@ -79,6 +79,8 @@ def _run(batch, x, e, fused: bool, seed=1):
 @pytest.mark.parametrize("shape", [
     (4, 8, 16, 128),    # small ragged
     (2, 32, 64, 256),   # pcqm-deep block shape
+    (2, 16, 32, 96),    # VOC width — exercises the zero-pad wrapper
+    (2, 8, 16, 64),     # molhiv/PATTERN width (2× lane padding)
 ])
 def test_fused_matches_xla_layer(shape):
     B, N, E, d = shape
