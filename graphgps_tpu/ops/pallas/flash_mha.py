@@ -24,7 +24,11 @@ tunnel-confounded timings had called flash a wash):
 Flash never wins at graph-recipe shapes on this chip — its 128-lane head-dim
 padding (8× at Dh=16) and kernel overheads outweigh the memory win — so
 'auto' picks DENSE up to N ≤ GGPS_DENSE_MAX_N (default 1024) and within the
-GGPS_DENSE_MAX_BYTES score-matrix budget (default 2 GB), CHUNKED above
+GGPS_DENSE_MAX_BYTES score-matrix budget (default 64 MB — round 4 found the
+old 2 GB budget let the VOC recipe (32·8·512·512 = 268 MB of f32 scores ×
+several HBM round-trips incl. the attn-dropout mask) run dense at
+27.9 ms/step where chunked runs the same step at 18.4 ms; small-molecule
+scores are ≤10 MB and keep dense), CHUNKED above
 (clearly fastest at long context AND O(N) memory). The flash kernel stays
 available via gt.attn_impl='flash' for future chips/shapes where the
 balance flips.
@@ -40,7 +44,7 @@ import jax.numpy as jnp
 
 _FLASH_MIN_N = int(os.environ.get("GGPS_FLASH_MIN_N", 256))
 _DENSE_MAX_N = int(os.environ.get("GGPS_DENSE_MAX_N", 1024))
-_DENSE_MAX_BYTES = int(os.environ.get("GGPS_DENSE_MAX_BYTES", 2 << 30))
+_DENSE_MAX_BYTES = int(os.environ.get("GGPS_DENSE_MAX_BYTES", 64 << 20))
 _LANE = 128
 
 
@@ -118,6 +122,12 @@ def mha(q, k, v, key_mask, bias=None, dropout_rate: float = 0.0,
             N > _DENSE_MAX_N or 4 * B * H * N * N > _DENSE_MAX_BYTES)):
         from ..chunked_mha import chunked_mha
 
+        # NOTE (round 4): a head-packed chunked variant (H·Dh folded into
+        # one 128-lane contraction, the fused_gps_attn trick in XLA) was
+        # built and measured at the VOC shape: 35.7 ms vs 18.4 ms per-head —
+        # XLA does NOT naively lane-pad small-Dh contractions, so the H×
+        # packing FLOPs are real cost, not free padding. Deleted; per-head
+        # chunked stays the small-Dh answer.
         return chunked_mha(q, k, v, key_mask, bias=bias,
                            dropout_rate=dropout_rate,
                            dropout_rng=dropout_rng)
