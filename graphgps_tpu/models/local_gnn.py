@@ -102,28 +102,77 @@ class GatedGCNLayer(nn.Module):
             e_gate = gate.reshape(B * E, self.dim)
             ggcn_moments = (px, pg, cx, cg)
         else:
+            from ..ops.pallas.fused_edge_gate import (ET, TG,
+                                                     edge_gate_eligible,
+                                                     fused_edge_gate_spmd
+                                                     as fused_edge_gate)
+
             Ax, Bx, Ce = dA(x), dB(x), dC(e)
             Dx, Ex = dD(x), dE(x)
 
-            s, r = batch.senders, batch.receivers
-            # one fused sender gather for Ex and Bx (single (E, 2d) block
-            # matmul, mirroring the num/den segment-sum fusion below)
-            eb = _gx(batch, jnp.concatenate([Ex, Bx], axis=-1), s)
-            e_gate = _gx(batch, Dx, r) + eb[:, :self.dim] + Ce  # (E, d) gate
-            sigma = nn.sigmoid(e_gate)
-            if self.equivstable_pe:
-                rij = _es_pe_scale(batch, MLP(hidden_dim=self.dim, out_dim=1,
-                                              num_layers=2, act="relu"))
-                if rij is not None:
-                    sigma = sigma * nn.sigmoid(rij)
-            msgs = sigma * eb[:, self.dim:]
-            # one fused segment-sum for numerator and denominator: a single
-            # (E, 2d) block matmul instead of two (E, d) ones
-            nd = segment_sum(jnp.concatenate([msgs, sigma], axis=-1), r,
-                             batch.num_node_slots, mask=batch.edge_mask,
-                             **_seg_kw(batch))
-            num, den = nd[:, :self.dim], nd[:, self.dim:]
-            x_new = Ax + num / (den + 1e-6)
+            if edge_gate_eligible(batch, x, e, self.dim,
+                                  self.equivstable_pe):
+                # long-graph rung (ops/pallas/fused_edge_gate.py): Linears
+                # above in XLA, the memory-bound gather/gate/aggregate
+                # middle tiled through VMEM (no (B, E, N) one-hot in HBM)
+                dim = self.dim
+                dp = -(-dim // 128) * 128
+                B, N, E = (batch.num_graphs, batch.max_nodes,
+                           batch.edge_block)
+                Epad = -(-E // (TG * ET)) * (TG * ET)
+
+                def padf(t):
+                    return (jnp.pad(t, ((0, 0), (0, dp - dim)))
+                            if dp != dim else t)
+
+                def padE(t2):  # (B, E, ...) → (B, Epad, ...)
+                    if Epad == E:
+                        return t2
+                    return jnp.pad(t2, ((0, 0), (0, Epad - E))
+                                   + ((0, 0),) * (t2.ndim - 2))
+
+                base = (jnp.arange(B, dtype=jnp.int32) * N)[:, None]
+                s2 = padE(batch.senders.reshape(B, E).astype(jnp.int32)
+                          - base).reshape(B, -1, ET)
+                r2 = padE(batch.receivers.reshape(B, E).astype(jnp.int32)
+                          - base).reshape(B, -1, ET)
+                em2 = padE(batch.edge_mask.reshape(B, E)
+                           .astype(x.dtype)).reshape(B, -1, ET)
+                ce4 = padE(padf(Ce).reshape(B, E, dp)).reshape(
+                    B, -1, ET, dp)
+                gate4, nd3 = fused_edge_gate(
+                    padf(Dx).reshape(B, N, dp),
+                    jnp.concatenate([padf(Ex), padf(Bx)],
+                                    axis=-1).reshape(B, N, 2 * dp),
+                    ce4, s2, r2, em2)
+                e_gate = gate4.reshape(B, Epad, dp)[:, :E, :dim].reshape(
+                    B * E, dim)
+                num = nd3[:, :, :dim].reshape(B * N, dim)
+                den = nd3[:, :, dp:dp + dim].reshape(B * N, dim)
+                x_new = Ax + num / (den + 1e-6)
+            else:
+                s, r = batch.senders, batch.receivers
+                # one fused sender gather for Ex and Bx (single (E, 2d)
+                # block matmul, mirroring the num/den segment-sum fusion
+                # below)
+                eb = _gx(batch, jnp.concatenate([Ex, Bx], axis=-1), s)
+                e_gate = (_gx(batch, Dx, r) + eb[:, :self.dim]
+                          + Ce)                         # (E, d) gate
+                sigma = nn.sigmoid(e_gate)
+                if self.equivstable_pe:
+                    rij = _es_pe_scale(
+                        batch, MLP(hidden_dim=self.dim, out_dim=1,
+                                   num_layers=2, act="relu"))
+                    if rij is not None:
+                        sigma = sigma * nn.sigmoid(rij)
+                msgs = sigma * eb[:, self.dim:]
+                # one fused segment-sum for numerator and denominator: a
+                # single (E, 2d) block matmul instead of two (E, d) ones
+                nd = segment_sum(jnp.concatenate([msgs, sigma], axis=-1),
+                                 r, batch.num_node_slots,
+                                 mask=batch.edge_mask, **_seg_kw(batch))
+                num, den = nd[:, :self.dim], nd[:, self.dim:]
+                x_new = Ax + num / (den + 1e-6)
 
         from ..ops.pallas.fused_tail import (fused_pre_tail_padded
                                              as fused_pre_tail,
