@@ -202,6 +202,47 @@ class GPSLayer(nn.Module):
                 outs.append(h_attn)
                 gt = "None"  # skip the unfused attention tail below
 
+            if gt != "None":
+                # WIDE graphs (128 < N ≤ 768): head-packed flash kernel with
+                # KV chunking + count-based masks (ops/pallas/fused_attn_wide)
+                # — beats both dense (huge HBM scores) and per-head chunked
+                # (Dh ≪ 128 lane waste). Per-head Dh padding keeps the packed
+                # layout exact at d=96-style widths.
+                from ..ops.pallas.fused_attn_wide import (
+                    fused_wide_attention_spmd, wide_eligible)
+                from ..ops.pallas.fused_gps_attn import pad_heads
+                dp_w = -(-d // 128) * 128
+                if (jax.default_backend() == "tpu"
+                        and self.attn_impl == "auto"
+                        and not self.log_attn_weights
+                        and dp_w % H == 0 and (dp_w // H) % 8 == 0
+                        and wide_eligible(B, N, dp_w, H)):
+                    padded = pad_heads(wqkv, bqkv, wo, bo, H)
+                    if padded is not None:
+                        wq_p, bq_p, wo_p, bo_p, dp_w = padded
+                        rate = self.attn_dropout if train else 0.0
+                        if rate > 0.0:
+                            seed = jax.random.bits(
+                                self.make_rng("dropout"), (),
+                                jnp.uint32).astype(jnp.int32)
+                        else:
+                            seed = jnp.zeros((), jnp.int32)
+                        counts = kmask.astype(jnp.int32).sum(axis=1)
+                        xd_p = (jnp.pad(xd, ((0, 0), (0, 0),
+                                             (0, dp_w - d)))
+                                if dp_w != d else xd)
+                        od = fused_wide_attention_spmd(
+                            xd_p, counts, wq_p, bq_p, wo_p, bo_p, seed, H,
+                            1.0 / float(d // H) ** 0.5, rate)[..., :d]
+                        h_attn = batch.flat_view(od)
+                        h_attn = self._drop_add(h_in, h_attn, train)
+                        h_attn = Norm(batch_norm=self.batch_norm,
+                                      layer_norm=self.layer_norm,
+                                      eps=self.norm_eps)(
+                            h_attn, batch.node_mask, train)
+                        outs.append(h_attn)
+                        gt = "None"
+
         if gt != "None":
             qkv = xd @ wqkv.reshape(d, 3 * d) + bqkv.reshape(3 * d)
             q = split_heads(qkv[..., :d], H)

@@ -130,6 +130,7 @@ def mha(q, k, v, key_mask, bias=None, dropout_rate: float = 0.0,
         # chunked stays the small-Dh answer.
         return chunked_mha(q, k, v, key_mask, bias=bias,
                            dropout_rate=dropout_rate,
-                           dropout_rng=dropout_rng)
+                           dropout_rng=dropout_rng,
+                           chunk=int(os.environ.get("GGPS_CHUNK", "128")))
     return mha_core(q, k, v, key_mask, bias=bias, dropout_rate=dropout_rate,
                     dropout_rng=dropout_rng, return_attn=return_attn)

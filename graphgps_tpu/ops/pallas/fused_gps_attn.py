@@ -354,6 +354,40 @@ def _vjp_bwd(H, rate, res, g):
 fused_gps_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+def pad_heads(wqkv3, bqkv2, wo, bo, H: int):
+    """Per-HEAD Dh padding for the packed attention kernels: pads each
+    head's Dh slot inside the packed d axis to Dhp = ceil128(d)/H (so the
+    packed width is lane-aligned and the head-mask layout stays exact),
+    zero-extends input rows, and returns
+    (wqkv (dp,3dp), bqkv (3dp,), wo (dp,dp), bo (dp,), dp) or None when
+    ceil128(d) is not divisible by H. Exact: padded q/k lanes contribute 0
+    to logits, padded v lanes produce 0 outputs, padded wo rows are zero.
+    Callers pass the REAL 1/√Dh as the kernel's scale."""
+    d = wo.shape[0]
+    Dh = d // H
+    dp = -(-d // 128) * 128
+    if dp == d:
+        return (wqkv3.reshape(d, 3 * d), bqkv2.reshape(3 * d), wo,
+                bo, d)
+    if dp % H:
+        return None
+    Dhp = dp // H
+
+    def scat_cols(w):  # (rows, d) → (rows, dp), per-head zero-extension
+        r = w.reshape(w.shape[0], H, Dh)
+        return jnp.pad(r, ((0, 0), (0, 0), (0, Dhp - Dh))).reshape(
+            w.shape[0], dp)
+
+    parts = [scat_cols(wqkv3[:, i, :]) for i in range(3)]
+    wqkv_p = jnp.pad(jnp.concatenate(parts, axis=1),
+                     ((0, dp - d), (0, 0)))                 # (dp, 3dp)
+    bqkv_p = jnp.concatenate([scat_cols(bqkv2[i].reshape(1, d))[0]
+                              for i in range(3)])           # (3dp,)
+    wo_p = jnp.pad(scat_cols(wo.T).T, ((0, 0), (0, dp - d)))  # (dp, dp)
+    bo_p = jnp.pad(bo, (0, dp - d))
+    return wqkv_p, bqkv_p, wo_p, bo_p, dp
+
+
 def fused_gps_attention_spmd(x, kmask, wqkv, bqkv, wo, bo, seed,
                              num_heads: int, dropout_rate: float = 0.0):
     """``fused_gps_attention`` under an ambient mesh: plain call
