@@ -86,11 +86,13 @@ def _dot(a, b):
 
 
 def _m1t(d: int, H: int, N: int):
-    """(H*N, d) block-diag head mask: [(h,n),(h',dh)] == (h == h'), f32."""
+    """(H*N, d) block-diag head mask ([(h,n),(h',dh)] == (h == h')) in the
+    DOT dtype (bf16 on TPU — the packed operands feed bf16 matmul passes
+    anyway, and halving them cuts VMEM pressure; f32 in interpret mode)."""
     Dh = d // H
     rowh = jax.lax.broadcasted_iota(jnp.int32, (H * N, d), 0) // N
     colh = jax.lax.broadcasted_iota(jnp.int32, (H * N, d), 1) // Dh
-    return (rowh == colh).astype(jnp.float32)
+    return (rowh == colh).astype(_dot_dt())
 
 
 def _vtile(t, H):
@@ -108,8 +110,10 @@ def _bdot(a, b, ca, cb):
 
 
 def _blk(t3, m1t, G, H):
-    """(G, N, d) → (G, H*N, d): vertical head tile masked block-diagonal."""
+    """(G, N, d) → (G, H*N, d): vertical head tile masked block-diagonal,
+    in m1t's (dot) dtype."""
     _, N, d = t3.shape
+    t3 = t3.astype(m1t.dtype)
     return (jnp.broadcast_to(t3[:, None], (G, H, N, d)).reshape(G, H * N, d)
             * m1t[None])
 
@@ -138,7 +142,8 @@ def _attn_fwd_all(q3, k3, v3, maskg, m1t, G, H, scale, keep, inv_keep):
     P = ex / jnp.sum(ex, axis=-1, keepdims=True)
     Pd = P if keep is None else P * keep * inv_keep
     out_blk = _bdot(Pd, v3, 2, 1)                              # (G, H*N, d)
-    out = jnp.sum((out_blk * m1t[None]).reshape(G, H, N, d), axis=1)
+    out = jnp.sum((out_blk * m1t[None].astype(out_blk.dtype))
+                  .reshape(G, H, N, d), axis=1)
     return out, P
 
 
@@ -208,7 +213,8 @@ def _bwd_kernel(seed_ref, x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref,
     dP = dPd if keep is None else dPd * keep * inv_keep
     dS = P * (dP - jnp.sum(dP * P, axis=-1, keepdims=True))    # (G, H*N, N)
     dqblk = _bdot(dS, k3, 2, 1)                                # (G, H*N, d)
-    dq = jnp.sum((dqblk * m1t[None]).reshape(G, H, N, d), axis=1) * scale
+    dq = jnp.sum((dqblk * m1t[None].astype(dqblk.dtype))
+                 .reshape(G, H, N, d), axis=1) * scale
     qblk = _blk(q3, m1t, G, H)
     dk = _bdot(dS, qblk, 1, 1) * scale                         # (G, N, d)
     o_merged = o3.reshape(G * N, d)
@@ -250,6 +256,15 @@ def _pick_block(B: int, N: int, d: int) -> int:
     while B % G:
         G -= 1
     return G
+
+
+def _params():
+    """Raise the scoped-VMEM compiler limit (default 16 MB) — the chip's
+    physical VMEM accommodates larger blocks (measured: the wide-attention
+    kernel runs 17+ MB working sets); lets _pick_block choose bigger G."""
+    if _interpret():
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def _interpret() -> bool:
@@ -302,6 +317,7 @@ def _fwd_call(x, kmask, wqkv, bqkv, wo, bo, seed, H, rate):
         ),
         out_shape=jax.ShapeDtypeStruct((B, N, d), x.dtype),
         interpret=_interpret(),
+        compiler_params=_params(),
     )(jnp.asarray([seed], jnp.int32).reshape(1), x,
       kmask.astype(x.dtype), wqkv, bqkv.reshape(1, -1), wo, bo.reshape(1, -1))
 
@@ -342,6 +358,7 @@ def _vjp_bwd(H, rate, res, g):
             jax.ShapeDtypeStruct((1, d), f32),
         ],
         interpret=_interpret(),
+        compiler_params=_params(),
     )(jnp.asarray([seed], jnp.int32).reshape(1), x, kmask.astype(x.dtype),
       wqkv, bqkv.reshape(1, -1), wo, g)
     return (dx, _f0(kmask) if kmask.dtype == jnp.bool_
