@@ -14,6 +14,7 @@ Conventions:
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
@@ -318,6 +319,34 @@ def segment_softmax(scores: jax.Array, segment_ids: jax.Array, num_segments: int
     return ex / (den + 1e-16)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _sorted_bwd_take(num_rows: int, x: jax.Array, idx: jax.Array):
+    """``x[idx]`` whose BACKWARD scatter-add runs index-SORTED.
+
+    The transpose of a plain take is an UNSORTED scatter-add — measured
+    ~2× slower than the sorted one on v5e at MalNet scale (21.6 ms of a
+    73.5 ms step were take-backward scatters). Sorting the cotangent rows
+    by index first (argsort + gather, both fast vector ops, CSE'd across
+    the layer stack since the index vector is step-constant) lets the
+    scatter run monotonically."""
+    return jnp.take(x, idx, axis=0)
+
+
+def _sbt_fwd(num_rows, x, idx):
+    return jnp.take(x, idx, axis=0), idx
+
+
+def _sbt_bwd(num_rows, idx, g):
+    perm = jnp.argsort(idx)
+    dx = jax.ops.segment_sum(
+        jnp.take(g, perm, axis=0), jnp.take(idx, perm),
+        num_segments=num_rows, indices_are_sorted=True)
+    return dx.astype(g.dtype), None
+
+
+_sorted_bwd_take.defvjp(_sbt_fwd, _sbt_bwd)
+
+
 def gather(x: jax.Array, idx: jax.Array,
            edge_block: Optional[int] = None,
            max_nodes: Optional[int] = None) -> jax.Array:
@@ -326,13 +355,18 @@ def gather(x: jax.Array, idx: jax.Array,
     With the device-arena blocked layout (edge_block/max_nodes) and float
     data, dispatches to ``blocked_gather`` so both the gather and its
     backward ride the MXU as block matmuls (no TPU scatter in the VJP).
-    """
+    Above the blocked cutoff (long graphs) the backward scatter runs
+    index-sorted (``_sorted_bwd_take``)."""
     if (_BLOCKED_GATHER and edge_block and max_nodes
             and _blocked_ok(edge_block, max_nodes)
             and idx.shape[0] % edge_block == 0
             and x.shape[0] == (idx.shape[0] // edge_block) * max_nodes
             and jnp.issubdtype(x.dtype, jnp.floating)):
         return blocked_gather(x, idx, edge_block, max_nodes)
+    if (jnp.issubdtype(x.dtype, jnp.floating) and x.ndim == 2
+            and idx.shape[0] >= 4096
+            and os.environ.get("GGPS_SORTED_TAKE", "1") == "1"):
+        return _sorted_bwd_take(x.shape[0], x, idx)
     return jnp.take(x, idx, axis=0)
 
 

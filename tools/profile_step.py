@@ -62,7 +62,8 @@ def main():
     from graphgps_tpu.optim.optimizers import make_tx
 
     make_cfg = {"zinc": bench._zinc_cfg, "voc": bench._voc512_cfg,
-                "pcqm": bench._pcqm256_cfg}[stage]
+                "pcqm": bench._pcqm256_cfg,
+                "malnet": bench._malnet5k_cfg}[stage]
     cfg, dim_out = make_cfg(new_cfg)
     cfg.train.steps_per_dispatch = K
     ds = load_dataset(cfg)
