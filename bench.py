@@ -137,7 +137,10 @@ def _malnet5k_cfg(new_cfg):
     # layers, dim 64, 4 heads, bs 16); N≈5k drives the chunked-attention path
     cfg = new_cfg()
     cfg.dataset.task_type = "classification"
-    cfg.dataset.synth_num_graphs = 32
+    # one batch's worth of graphs: host generation of ≈5k-node synthetic
+    # graphs dominates the stage wall (not the measured steps) — keep it
+    # inside the driver's bench budget
+    cfg.dataset.synth_num_graphs = 16
     cfg.dataset.synth_min_nodes = 4200
     cfg.dataset.synth_max_nodes = 4992
     cfg.dataset.synth_num_tasks = 5
@@ -514,14 +517,15 @@ def main():
         ("zinc_bs32_scan32", "bench.bench_zinc_scan(K=32)"),
         ("voc_gps_4x96_bs32",
          "bench.bench_scan(bench._voc512_cfg, K=4, windows=3, groups=10)"),
-        # long-context rung (MalNet recipe, N≈5k → GatedGCN + FAVOR+): keeps
-        # the driver artifact covering the attention ladder (VERDICT r3 #7)
-        ("malnet5k_bs16",
-         "bench.bench_scan(bench._malnet5k_cfg, K=2, windows=3, groups=6)"),
         # bf16 storage-policy variant of the headline shape
         ("pcqm_deep_bs256_bf16",
          "bench.bench_scan(bench._pcqm256_bf16_cfg, K=8, windows=3,"
          " groups=25)"),
+        # long-context rung (MalNet recipe, N≈5k → GatedGCN + FAVOR+): keeps
+        # the driver artifact covering the attention ladder (VERDICT r3 #7);
+        # LAST — it is the slowest stage and the first to drop to the budget
+        ("malnet5k_bs16",
+         "bench.bench_scan(bench._malnet5k_cfg, K=2, windows=3, groups=6)"),
     ]
     for name, call in stages:
         left = time_left()
