@@ -318,7 +318,7 @@ fused_drop_add.defvjp(_da_vjp_fwd, _da_vjp_bwd)
 # --------------------------------------------------------------------------
 
 def _ffn_fwd_kernel(seed_ref, h_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                    *, rate, act):
+                    *, rate, act, drop2=True):
     f32 = jnp.float32
     h = h_ref[:].astype(f32)
     a1 = _dot(h, w1_ref[:].astype(f32)) + b1_ref[0].astype(f32)
@@ -327,14 +327,15 @@ def _ffn_fwd_kernel(seed_ref, h_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         k1, s1 = _keep(seed_ref, 0, z.shape, rate)
         z = z * k1 * s1
     a2 = _dot(z, w2_ref[:].astype(f32)) + b2_ref[0].astype(f32)
-    if rate > 0.0:
+    if rate > 0.0 and drop2:
         k2, s2 = _keep(seed_ref, 1, a2.shape, rate)
         a2 = a2 * k2 * s2
     o_ref[:] = (h + a2).astype(o_ref.dtype)
 
 
 def _ffn_bwd_kernel(seed_ref, h_ref, w1_ref, b1_ref, w2_ref, g_ref,
-                    dh_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, *, rate, act):
+                    dh_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
+                    *, rate, act, drop2=True):
     f32 = jnp.float32
     h = h_ref[:].astype(f32)
     w1 = w1_ref[:].astype(f32)
@@ -345,11 +346,12 @@ def _ffn_bwd_kernel(seed_ref, h_ref, w1_ref, b1_ref, w2_ref, g_ref,
         # draw in the SAME order as the forward so the bits replay
         k1, s1 = _keep(seed_ref, 0, z.shape, rate)
         u = z * k1 * s1
-        k2, s2 = _keep(seed_ref, 1, (z.shape[0], w2.shape[1]), rate)
+        if drop2:
+            k2, s2 = _keep(seed_ref, 1, (z.shape[0], w2.shape[1]), rate)
     else:
         u = z
     g = g_ref[:].astype(f32)
-    da2 = g * k2 * s2 if rate > 0.0 else g
+    da2 = g * k2 * s2 if (rate > 0.0 and drop2) else g
     du = _dot_nt(da2, w2)
     dz = du * k1 * s1 if rate > 0.0 else du
     da1 = dz * _act_df(act, a1)
@@ -374,11 +376,14 @@ def _ffn_bwd_kernel(seed_ref, h_ref, w1_ref, b1_ref, w2_ref, g_ref,
         db2_ref[:] += db2
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def fused_ffn(h, w1, b1, w2, b2, seed, rate: float, act: str):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def fused_ffn(h, w1, b1, w2, b2, seed, rate: float, act: str,
+              drop2: bool = True):
     """h: (R, d); w1: (d, dh); b1: (dh,); w2: (dh, d); b2: (d,).
-    The GPS FFN block with residual: h + drop(W2·drop(act(W1·h+b1))+b2)."""
-    return _ffn_fwd(h, w1, b1, w2, b2, seed, rate, act)
+    The GPS FFN block with residual: h + drop2(W2·drop(act(W1·h+b1))+b2).
+    ``drop2=False`` skips the post-projection dropout (SAN's FFN,
+    san.py:143-147, applies only the inner one)."""
+    return _ffn_fwd(h, w1, b1, w2, b2, seed, rate, act, drop2)
 
 
 def _ffn_block(R, d, dh):
@@ -387,11 +392,12 @@ def _ffn_block(R, d, dh):
     return tail_block(R, cap)
 
 
-def _ffn_fwd(h, w1, b1, w2, b2, seed, rate, act):
+def _ffn_fwd(h, w1, b1, w2, b2, seed, rate, act, drop2=True):
     R, d = h.shape
     dh = w1.shape[1]
     RB = _ffn_block(R, d, dh)
-    kern = functools.partial(_ffn_fwd_kernel, rate=rate, act=act)
+    kern = functools.partial(_ffn_fwd_kernel, rate=rate, act=act,
+                             drop2=drop2)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -411,18 +417,19 @@ def _ffn_fwd(h, w1, b1, w2, b2, seed, rate, act):
     )(_seed_arr(seed), h, w1, b1.reshape(1, dh), w2, b2.reshape(1, d))
 
 
-def _ffn_vjp_fwd(h, w1, b1, w2, b2, seed, rate, act):
-    y = _ffn_fwd(h, w1, b1, w2, b2, seed, rate, act)
+def _ffn_vjp_fwd(h, w1, b1, w2, b2, seed, rate, act, drop2=True):
+    y = _ffn_fwd(h, w1, b1, w2, b2, seed, rate, act, drop2)
     return y, (h, w1, b1, w2, seed)
 
 
-def _ffn_vjp_bwd(rate, act, res, g):
+def _ffn_vjp_bwd(rate, act, drop2, res, g):
     h, w1, b1, w2, seed = res
     R, d = h.shape
     dh = w1.shape[1]
     RB = _ffn_block(R, d, dh)
     f32 = jnp.float32
-    kern = functools.partial(_ffn_bwd_kernel, rate=rate, act=act)
+    kern = functools.partial(_ffn_bwd_kernel, rate=rate, act=act,
+                             drop2=drop2)
     dhout, dw1, db1, dw2, db2 = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -506,16 +513,16 @@ def fused_pre_tail_padded(x_in, v, mu, inv, gamma, beta, seed, rate, act):
     return out[..., :d]
 
 
-def fused_ffn_padded(h, w1, b1, w2, b2, seed, rate, act):
+def fused_ffn_padded(h, w1, b1, w2, b2, seed, rate, act, drop2=True):
     d = h.shape[-1]
     dh = w1.shape[1]
     dp, dhp = _ceil128(d), _ceil128(dh)
     if dp == d and dhp == dh:
-        return fused_ffn_spmd(h, w1, b1, w2, b2, seed, rate, act)
+        return fused_ffn_spmd(h, w1, b1, w2, b2, seed, rate, act, drop2)
     w1p = jnp.pad(w1, ((0, dp - d), (0, dhp - dh)))
     w2p = jnp.pad(w2, ((0, dhp - dh), (0, dp - d)))
     out = fused_ffn_spmd(_pad_last(h, dp), w1p, _pad_last(b1, dhp), w2p,
-                         _pad_last(b2, dp), seed, rate, act)
+                         _pad_last(b2, dp), seed, rate, act, drop2)
     return out[..., :d]
 
 
@@ -556,19 +563,19 @@ def fused_drop_add_spmd(x_in, v, seed, rate):
                                        jnp.asarray(seed, jnp.int32))
 
 
-def fused_ffn_spmd(h, w1, b1, w2, b2, seed, rate, act):
+def fused_ffn_spmd(h, w1, b1, w2, b2, seed, rate, act, drop2=True):
     from .spmd import dp_mesh, dp_shard_map, fold_shard_seed
 
     mesh = dp_mesh(h.shape[0])
     if mesh is None:
-        return fused_ffn(h, w1, b1, w2, b2, seed, rate, act)
+        return fused_ffn(h, w1, b1, w2, b2, seed, rate, act, drop2)
     P = jax.sharding.PartitionSpec
     row = P("data", None)
     rep = P(None)
 
     def body(h, w1, b1, w2, b2, seed):
         return fused_ffn(h, w1, b1, w2, b2, fold_shard_seed(seed),
-                         rate, act)
+                         rate, act, drop2)
 
     return dp_shard_map(body, mesh,
                         in_specs=(row, rep, rep, rep, rep, P()),

@@ -46,7 +46,7 @@ def _blocked_batch(B=4, N=8, E=16, d=128, seed=0):
     batch = GraphBatch(
         node_feat=jnp.zeros((B * N, 1)), edge_feat=jnp.zeros((B * E, 1)),
         senders=jnp.asarray(senders), receivers=jnp.asarray(receivers),
-        node_mask=jnp.asarray(nmask), edge_mask=jnp.asarray(emask),
+        node_mask=jnp.asarray(nmask > 0), edge_mask=jnp.asarray(emask > 0),
         graph_mask=jnp.ones((B,), jnp.float32), y=None, pe={}, extras={},
         num_graphs=B, max_nodes=N, edge_block=E)
     return batch, jnp.asarray(x), jnp.asarray(e), nmask, emask

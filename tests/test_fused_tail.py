@@ -195,3 +195,43 @@ def test_gps_layer_ffn_parity():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3),
         g_f, g_u)
+
+
+def test_san_ffn_fused_parity():
+    """SANLayer's FFN through the fused kernel (drop2=False) vs the XLA
+    path: outputs and grads at d=128, dropout 0."""
+    from tests.test_fused_gatedgcn import _blocked_batch
+    from graphgps_tpu.models.san import SANLayer
+
+    batch, x, e, nmask, emask = _blocked_batch(2, 16, 32, 128, seed=6)
+    layer = SANLayer(dim_h=128, num_heads=4, gamma=0.1, full_graph=True,
+                     dropout=0.0, batch_norm=True)
+
+    def run(off):
+        os.environ["GGPS_FUSED_TAIL"] = "0" if off else "1"
+        try:
+            var = layer.init(jax.random.PRNGKey(1), batch, x, e, True)
+
+            def loss(params):
+                out, _ = layer.apply(
+                    {"params": params, "batch_stats": var["batch_stats"]},
+                    batch, x, e, True, mutable=["batch_stats"])
+                h, _e = out
+                return jnp.sum((h * batch.node_mask[:, None]) ** 2)
+
+            val, g = jax.value_and_grad(loss)(var["params"])
+            return var, val, g
+        finally:
+            os.environ.pop("GGPS_FUSED_TAIL", None)
+
+    var_f, val_f, g_f = run(off=False)
+    var_u, val_u, g_u = run(off=True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        var_f["params"], var_u["params"])
+    np.testing.assert_allclose(float(val_f), float(val_u), rtol=2e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3),
+        g_f, g_u)
