@@ -49,6 +49,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _params():
+    """Raise the scoped-VMEM compiler limit (default 16 MB): the d=384
+    GPS-medium backward block measures 18.6 MB and the chip's physical VMEM
+    takes it (the wide-attention kernel already runs 17+ MB sets)."""
+    if _interpret():
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _dot_dt():
     if _os.environ.get("GGPS_FUSED_DOT_F32") == "1":
         return jnp.float32
@@ -315,6 +324,7 @@ def _fwd_call(x, e, s_loc, r_loc, emask, nmask, cx, cg, wn, bn, wc, bc):
             jax.ShapeDtypeStruct((1, 2 * d), f32),
         ],
         interpret=_interpret(),
+        compiler_params=_params(),
     )(x, e, s_loc, r_loc, emask.astype(x.dtype), nmask.astype(x.dtype),
       wn, bn.reshape(1, -1), wc, bc.reshape(1, -1),
       cx.reshape(1, -1), cg.reshape(1, -1))
@@ -362,6 +372,7 @@ def _vjp_bwd(res, g):
             jax.ShapeDtypeStruct((1, d), f32),
         ],
         interpret=_interpret(),
+        compiler_params=_params(),
     )(x, e, s_loc, r_loc, emask.astype(x.dtype), nmask.astype(x.dtype),
       wn, bn.reshape(1, -1), wc, bc.reshape(1, -1),
       cx.reshape(1, -1), cg.reshape(1, -1), gx, gg,

@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_gatedgcn import _dot, _dot_nt, _dot_tn, _interpret
+from .fused_gatedgcn import _dot, _dot_nt, _dot_tn, _interpret, _params
 
 
 _SQRT2 = 1.4142135623730951
@@ -101,8 +101,11 @@ def _keep(seed_ref, offset, shape, rate):
     return keep, 1.0 / (1.0 - t / 256.0)
 
 
-def tail_block(R: int, cap: int = 1024):
-    """Largest row-block ≤ cap dividing R (multiple of 8), or None."""
+def tail_block(R: int, cap: int = 1024, d: int = 128):
+    """Largest row-block ≤ cap dividing R (multiple of 8), or None. Wide
+    rows shrink the cap so per-value VMEM stays ~512 KB (the d=384
+    GPS-medium backward block overflowed the 16 MB scope at 1024 rows)."""
+    cap = min(cap, max(8, (1 << 19) // (d * 4) // 8 * 8))
     best = None
     for rb in range(8, min(R, cap) + 1, 8):
         if R % rb == 0:
@@ -192,7 +195,7 @@ def fused_pre_tail(x_in, v, mu, inv, gamma, beta, seed,
 
 def _pre_fwd(x_in, v, mu, inv, gamma, beta, seed, rate, act):
     R, d = v.shape
-    RB = tail_block(R)
+    RB = tail_block(R, d=d)
     kern = functools.partial(_pre_fwd_kernel, rate=rate, act=act)
     return pl.pallas_call(
         kern,
@@ -204,6 +207,7 @@ def _pre_fwd(x_in, v, mu, inv, gamma, beta, seed, rate, act):
         ),
         out_shape=jax.ShapeDtypeStruct((R, d), x_in.dtype),
         interpret=_interpret(),
+        compiler_params=_params(),
     )(_seed_arr(seed), x_in, v, mu.reshape(1, d), inv.reshape(1, d),
       gamma.reshape(1, d), beta.reshape(1, d))
 
@@ -216,7 +220,7 @@ def _pre_vjp_fwd(x_in, v, mu, inv, gamma, beta, seed, rate, act):
 def _pre_vjp_bwd(rate, act, res, g):
     v, mu, inv, gamma, beta, seed = res
     R, d = v.shape
-    RB = tail_block(R)
+    RB = tail_block(R, d=d)
     f32 = jnp.float32
     kern = functools.partial(_pre_bwd_kernel, rate=rate, act=act)
     dv, dmu, dinv, dga, dbe = pl.pallas_call(
@@ -232,6 +236,7 @@ def _pre_vjp_bwd(rate, act, res, g):
         out_shape=[jax.ShapeDtypeStruct((R, d), v.dtype)]
         + [jax.ShapeDtypeStruct((1, d), f32)] * 4,
         interpret=_interpret(),
+        compiler_params=_params(),
     )(_seed_arr(seed), v, mu.reshape(1, d), inv.reshape(1, d),
       gamma.reshape(1, d), beta.reshape(1, d), g)
     return (g, dv, dmu.reshape(-1).astype(mu.dtype),
@@ -270,7 +275,7 @@ def fused_drop_add(x_in, v, seed, rate: float):
 
 def _da_fwd(x_in, v, seed, rate):
     R, d = v.shape
-    RB = tail_block(R)
+    RB = tail_block(R, d=d)
     kern = functools.partial(_da_fwd_kernel, rate=rate)
     return pl.pallas_call(
         kern,
@@ -282,6 +287,7 @@ def _da_fwd(x_in, v, seed, rate):
         ),
         out_shape=jax.ShapeDtypeStruct((R, d), x_in.dtype),
         interpret=_interpret(),
+        compiler_params=_params(),
     )(_seed_arr(seed), x_in, v)
 
 
@@ -293,7 +299,7 @@ def _da_vjp_bwd(rate, res, g):
     (seed,) = res
     R, d = g.shape   # out/x_in/v all share shape; dv dtype follows g
     vdtype = g.dtype
-    RB = tail_block(R)
+    RB = tail_block(R, d=d)
     kern = functools.partial(_da_bwd_kernel, rate=rate)
     dv = pl.pallas_call(
         kern,
@@ -305,6 +311,7 @@ def _da_vjp_bwd(rate, res, g):
         ),
         out_shape=jax.ShapeDtypeStruct((R, d), vdtype),
         interpret=_interpret(),
+        compiler_params=_params(),
     )(_seed_arr(seed), g)
     return (g, dv,
             _f0(seed) if jnp.issubdtype(seed.dtype, jnp.integer) else None)
@@ -389,7 +396,7 @@ def fused_ffn(h, w1, b1, w2, b2, seed, rate: float, act: str,
 def _ffn_block(R, d, dh):
     """Row block: the (RB, dh) intermediate is the VMEM driver."""
     cap = max(8, min(2048, (4 << 20) // max(dh * 4 * 6, 1) // 8 * 8))
-    return tail_block(R, cap)
+    return tail_block(R, cap, d=dh)
 
 
 def _ffn_fwd(h, w1, b1, w2, b2, seed, rate, act, drop2=True):
@@ -414,6 +421,7 @@ def _ffn_fwd(h, w1, b1, w2, b2, seed, rate, act, drop2=True):
         ),
         out_shape=jax.ShapeDtypeStruct((R, d), h.dtype),
         interpret=_interpret(),
+        compiler_params=_params(),
     )(_seed_arr(seed), h, w1, b1.reshape(1, dh), w2, b2.reshape(1, d))
 
 
@@ -458,6 +466,7 @@ def _ffn_vjp_bwd(rate, act, drop2, res, g):
             jax.ShapeDtypeStruct((1, d), f32),
         ],
         interpret=_interpret(),
+        compiler_params=_params(),
     )(_seed_arr(seed), h, w1, b1.reshape(1, dh), w2, g)
     return (dhout, dw1.astype(w1.dtype), db1.reshape(-1).astype(b1.dtype),
             dw2.astype(w2.dtype), db2.reshape(-1).astype(w2.dtype),

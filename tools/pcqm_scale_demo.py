@@ -11,7 +11,8 @@ optimizer step ships only a (K, B) int32 index block.
 This script measures that path at PCQM statistics (node-count distribution,
 9 int atom columns, 3 int bond columns, RWSE-20) on G synthetic molecules
 (default 1M — bounded by demo wall-time, not HBM), with the GPS-medium recipe
-model (CustomGatedGCN+Transformer, 5 x 304d, bs 256), and projects HBM + epoch
+model (CustomGatedGCN+Transformer, 10 x 384d, 16 heads, dropout — the full
+recipe), and projects HBM + epoch
 time to the full 3.37M-graph split.
 
     python tools/pcqm_scale_demo.py [num_graphs]
@@ -19,8 +20,11 @@ time to the full 3.37M-graph split.
 Writes PCQM_SCALE.json and prints a summary line.
 """
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -100,10 +104,15 @@ def main():
     cfg.posenc_RWSE.dim_pe = 20
     cfg.posenc_RWSE.raw_norm_type = "BatchNorm"
     cfg.gt.layer_type = "CustomGatedGCN+Transformer"
-    cfg.gt.layers = 5
-    cfg.gt.dim_hidden = 304
-    cfg.gt.n_heads = 4
-    cfg.gnn.dim_inner = 304
+    # the FULL reference GPS-medium recipe (pcqm4m-GPSmedium+RWSE.yaml:
+    # 10×384d, 16 heads, dropout 0.1/0.1, gelu — ~48 h on one A100)
+    cfg.gt.layers = 10
+    cfg.gt.dim_hidden = 384
+    cfg.gt.n_heads = 16
+    cfg.gt.dropout = 0.1
+    cfg.gt.attn_dropout = 0.1
+    cfg.gnn.act = "gelu"
+    cfg.gnn.dim_inner = 384
     cfg.gnn.head = "san_graph"
     cfg.model.loss_fun = "l1"
     cfg.train.batch_size = B
@@ -149,7 +158,7 @@ def main():
         "projected_full_epoch_min": round(
             steps_per_epoch_full * step_s / 60, 2),
         "compile_s": round(compile_s, 1),
-        "model": "GPS-medium 5x304d CustomGatedGCN+Transformer bs256 scan8",
+        "model": "GPS-medium 10x384d CustomGatedGCN+Transformer bs256 scan8",
     }
     with open("PCQM_SCALE.json", "w") as f:
         json.dump(out, f, indent=1)
