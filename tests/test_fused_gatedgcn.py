@@ -121,6 +121,8 @@ def test_eligibility_gates():
     assert fused_gatedgcn_eligible(batch, x, e, 128, False)
     assert not fused_gatedgcn_eligible(batch, x, e, 128, True)   # ES-PE
     assert not fused_gatedgcn_eligible(batch, x, None, 128, False)
-    assert not fused_gatedgcn_eligible(batch, x, e, 64, False)   # lanes
+    # dim mismatch vs x's width (the layer always passes its own dim; any
+    # width ≥64 is lane-eligible via the zero-pad wrapper since round 4)
+    assert not fused_gatedgcn_eligible(batch, x, e, 64, False)
     flat = batch.replace(edge_block=None)
     assert not fused_gatedgcn_eligible(flat, x, e, 128, False)
