@@ -163,3 +163,78 @@ def test_drop_add_spmd_mask_replay(dp_mesh_ctx):
     g = jax.grad(lambda v: jnp.sum(fused_drop_add_spmd(x_in, v, seed,
                                                        rate)))(v)
     np.testing.assert_allclose(np.asarray(g), eff, rtol=1e-4, atol=1e-5)
+
+
+def test_wide_attention_spmd_parity(dp_mesh_ctx):
+    from graphgps_tpu.ops.pallas.fused_attn_wide import (
+        fused_wide_attention, fused_wide_attention_spmd)
+    from tests.test_fused_attn_wide import _setup
+
+    B, N, d, H = 8, 256, 128, 8
+    x, wqkv3, bqkv2, wo, bo, kmask, counts = _setup(B, N, d, H, seed=21)
+    wq = wqkv3.reshape(d, 3 * d)
+    bq = bqkv2.reshape(3 * d)
+    seed = jnp.zeros((), jnp.int32)
+    scale = 1.0 / float(d // H) ** 0.5
+
+    y_m = fused_wide_attention_spmd(x, counts, wq, bq, wo, bo, seed, H,
+                                    scale, 0.0)
+    set_current_mesh(None)
+    y_s = fused_wide_attention(x, counts, wq, bq, wo, bo, seed, H,
+                               scale, 0.0)
+    set_current_mesh(dp_mesh_ctx)
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_s),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(fn):
+        def f(x, wq, wo):
+            return jnp.sum((fn(x, counts, wq, bq, wo, bo, seed, H, scale,
+                               0.0) * kmask[..., None]) ** 2)
+        return f
+
+    g_m = jax.grad(loss(fused_wide_attention_spmd), argnums=(0, 1, 2))(
+        x, wq, wo)
+    set_current_mesh(None)
+    g_s = jax.grad(loss(fused_wide_attention), argnums=(0, 1, 2))(x, wq, wo)
+    set_current_mesh(dp_mesh_ctx)
+    for a, b in zip(g_m, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_edge_gate_spmd_parity(dp_mesh_ctx):
+    """Edge-gate rung on the DP mesh: GatedGCNLayer routes through
+    fused_edge_gate_spmd (all operands batch-leading) — loss/grads match
+    single-device."""
+    from graphgps_tpu.models.local_gnn import GatedGCNLayer
+    from graphgps_tpu.ops.pallas.fused_edge_gate import edge_gate_eligible
+
+    batch, x, e, nmask, emask = _blocked_batch(16, 128, 1024, 128, seed=23)
+    assert edge_gate_eligible(batch, x, e, 128, False)
+    layer = GatedGCNLayer(dim=128, dropout=0.0, residual=True,
+                          batch_norm=True, act="relu")
+
+    def run(mesh_on):
+        set_current_mesh(dp_mesh_ctx if mesh_on else None)
+        try:
+            var = layer.init(jax.random.PRNGKey(2), batch, x, e, True)
+
+            def loss(params):
+                (xo, eo), _ = layer.apply(
+                    {"params": params, "batch_stats": var["batch_stats"]},
+                    batch, x, e, True, mutable=["batch_stats"])
+                return (jnp.sum((xo * batch.node_mask[:, None]) ** 2)
+                        + jnp.sum((eo * batch.edge_mask[:, None]) ** 2))
+
+            val, g = jax.value_and_grad(loss)(var["params"])
+            return val, g
+        finally:
+            set_current_mesh(dp_mesh_ctx)
+
+    val_m, g_m = run(True)
+    val_s, g_s = run(False)
+    np.testing.assert_allclose(float(val_m), float(val_s), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4),
+        g_m, g_s)
