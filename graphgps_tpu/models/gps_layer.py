@@ -147,6 +147,12 @@ class GPSLayer(nn.Module):
             # cross-impl loss-parity assertion hold across impl switches.
             # TP rule: parallel/tensor.py shards qkv_kernel's last axis
             # (heads) over 'model'.
+            # COMPAT NOTE (round 4): this re-parameterization renamed the
+            # attn params (was: three Dense QKV + one out-proj Dense) and
+            # shifted auto-numbered Dense indices — checkpoints written
+            # before it (auto_resume dirs, pretrained.dir) do not restore
+            # against the new pytree. Pre-1.0 break, accepted; re-save via
+            # a fresh run rather than migrating old trees.
             wqkv = self.param(
                 "qkv_kernel",
                 nn.initializers.variance_scaling(

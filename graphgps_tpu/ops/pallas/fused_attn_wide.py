@@ -271,7 +271,7 @@ def _fwd_call(x, counts, wqkv, bqkv, wo, bo, seed, H, scale, rate):
 
 def _vjp_fwd(x, counts, wqkv, bqkv, wo, bo, seed, H, scale, rate):
     y = _fwd_call(x, counts, wqkv, bqkv, wo, bo, seed, H, scale, rate)
-    return y, (x, counts, wqkv, bqkv, wo, seed)
+    return y, (x, counts, wqkv, bqkv, wo, bo, seed)
 
 
 def _f0(a):
@@ -279,7 +279,7 @@ def _f0(a):
 
 
 def _vjp_bwd(H, scale, rate, res, g):
-    x, counts, wqkv, bqkv, wo, seed = res
+    x, counts, wqkv, bqkv, wo, bo, seed = res
     B, N, d = x.shape
     f32 = jnp.float32
     kern = functools.partial(_bwd_kernel, N=N, d=d, H=H, scale=scale,
@@ -313,7 +313,7 @@ def _vjp_bwd(H, scale, rate, res, g):
     return (dx, _f0(counts) if jnp.issubdtype(counts.dtype, jnp.integer)
             else jnp.zeros_like(counts),
             dwqkv.astype(wqkv.dtype), dbqkv.reshape(-1).astype(bqkv.dtype),
-            dwo.astype(wo.dtype), dbo.reshape(-1),
+            dwo.astype(wo.dtype), dbo.reshape(-1).astype(bo.dtype),
             _f0(seed) if jnp.issubdtype(seed.dtype, jnp.integer) else None)
 
 

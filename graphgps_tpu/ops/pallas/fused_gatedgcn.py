@@ -462,6 +462,7 @@ def fused_gatedgcn_eligible(batch, x, e, dim: int,
     env = _os.environ.get("GGPS_FUSED_GGCN")
     if env == "0":
         return False
+    from ..segment import _blocked_ok
     from .spmd import dp_compatible
     if not dp_compatible(batch.num_graphs):
         # pure data-parallel meshes compose via fused_gatedgcn_spmd; under
@@ -472,9 +473,9 @@ def fused_gatedgcn_eligible(batch, x, e, dim: int,
             and e is not None
             and not equivstable_pe
             # the in-kernel one-hot contractions share the blocked-path FLOP
-            # blow-up bound (ops/segment._blocked_ok): long-graph shapes
-            # would waste ~max_nodes× MXU work per gather
-            and batch.edge_block * batch.max_nodes <= (1 << 21)
+            # blow-up bound (ops/segment._blocked_ok, GGPS_BLOCKED_LIMIT):
+            # long-graph shapes would waste ~max_nodes× MXU work per gather
+            and _blocked_ok(batch.edge_block, batch.max_nodes)
             # a legal (8-aligned, VMEM-fitting) graph block must exist at
             # the PADDED width
             and pick_block(batch.num_graphs, batch.max_nodes,

@@ -427,11 +427,11 @@ def _ffn_fwd(h, w1, b1, w2, b2, seed, rate, act, drop2=True):
 
 def _ffn_vjp_fwd(h, w1, b1, w2, b2, seed, rate, act, drop2=True):
     y = _ffn_fwd(h, w1, b1, w2, b2, seed, rate, act, drop2)
-    return y, (h, w1, b1, w2, seed)
+    return y, (h, w1, b1, w2, b2, seed)
 
 
 def _ffn_vjp_bwd(rate, act, drop2, res, g):
-    h, w1, b1, w2, seed = res
+    h, w1, b1, w2, b2, seed = res
     R, d = h.shape
     dh = w1.shape[1]
     RB = _ffn_block(R, d, dh)
@@ -469,7 +469,7 @@ def _ffn_vjp_bwd(rate, act, drop2, res, g):
         compiler_params=_params(),
     )(_seed_arr(seed), h, w1, b1.reshape(1, dh), w2, g)
     return (dhout, dw1.astype(w1.dtype), db1.reshape(-1).astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.reshape(-1).astype(w2.dtype),
+            dw2.astype(w2.dtype), db2.reshape(-1).astype(b2.dtype),
             _f0(seed) if jnp.issubdtype(seed.dtype, jnp.integer) else None)
 
 
