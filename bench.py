@@ -261,7 +261,10 @@ def bench_scan(make_cfg, K=8, windows=5, groups=40):
     # same structure as L.make_scan_steps, but keep the jitted handle so the
     # compiled cost analysis (→ MFU) comes from the SAME executable
     donate = (1,) if cfg.parallel.donate else ()
-    jitted = jax.jit(L.scan_steps_core(cfg, model, tx, loader),
+    # guard=False: the bench sel below is all-real, which in production
+    # dispatches the guard-free executable (make_scan_steps host-side check;
+    # only the trailing partial group of an epoch runs guarded)
+    jitted = jax.jit(L.scan_steps_core(cfg, model, tx, loader, guard=False),
                      donate_argnums=donate)
     tree = loader.arenas_tree
     multi = lambda st, sels, rng: jitted(tree, st, sels, rng)  # noqa: E731

@@ -188,7 +188,8 @@ def make_steps(cfg, model, tx, flat: Optional[bool] = None):
             jax.jit(raw["eval"]))
 
 
-def scan_steps_core(cfg, model, tx, loader, flat_carry: Optional[bool] = None):
+def scan_steps_core(cfg, model, tx, loader, flat_carry: Optional[bool] = None,
+                    guard: bool = True):
     """Unjitted K-steps-per-dispatch scan body (see make_scan_steps).
 
     Exposed separately so train/multiseed.py can ``jax.vmap`` it over a
@@ -207,7 +208,14 @@ def scan_steps_core(cfg, model, tx, loader, flat_carry: Optional[bool] = None):
     gradient is taken w.r.t. the flat vector directly (the transpose of
     unravel is exactly the ravel the fused optimizer needs), so the per-leaf
     update unravel + apply_updates disappear too. Bitwise-identical math:
-    same leaf order, same flat adds."""
+    same leaf order, same flat adds.
+
+    ``guard``: emit the all-padding filler-batch selects (params/opt/stats
+    must not move on a filler step). The host KNOWS at dispatch time whether
+    a group contains a filler batch (only the trailing group of an epoch
+    can), so make_scan_steps dispatches a guard-free executable for full
+    groups — the guard's ~0.5 ms of whole-parameter jnp.where traffic
+    (round-4 profile) is paid only by the one partial group per epoch."""
     from ..data.device_loader import assemble_impl
 
     if flat_carry is None:
@@ -224,6 +232,8 @@ def scan_steps_core(cfg, model, tx, loader, flat_carry: Optional[bool] = None):
                 batch = assemble_impl(tree, sel, Nmax, B)
                 st2, loss, pred, true, mask = raw(
                     st, batch, jax.random.fold_in(rng, i))
+                if not guard:
+                    return st2, (loss, pred, true, mask)
                 # the trailing group may contain ALL-padding filler batches:
                 # they must not move params (adamW decays even on zero
                 # grads), advance the step, or pollute BatchNorm running
@@ -265,14 +275,17 @@ def scan_steps_core(cfg, model, tx, loader, flat_carry: Optional[bool] = None):
                                    jax.random.fold_in(rng, i), step)
             u_flat, opt2 = tx.update(g_flat, opt_state, p_flat)
             p2 = optax.apply_updates(p_flat, u_flat)
-            # filler-batch guard (see the tree path above) — one select per
-            # flat buffer instead of one per leaf
-            real = (sel >= 0).any()
-            p2 = jnp.where(real, p2, p_flat)
-            bs2 = jnp.where(real, bs2, bs_flat)
-            opt2 = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(real, a, b), opt2, opt_state)
-            step2 = jnp.where(real, step + 1, step)
+            if guard:
+                # filler-batch guard (see the tree path above) — one select
+                # per flat buffer instead of one per leaf
+                real = (sel >= 0).any()
+                p2 = jnp.where(real, p2, p_flat)
+                bs2 = jnp.where(real, bs2, bs_flat)
+                opt2 = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(real, a, b), opt2, opt_state)
+                step2 = jnp.where(real, step + 1, step)
+            else:
+                step2 = step + 1
             return (p2, bs2, opt2, step2), (loss, pred, true, mask)
 
         K = sels.shape[0]
@@ -295,12 +308,28 @@ def make_scan_steps(cfg, model, tx, loader, flat_carry: Optional[bool] = None):
     dispatch + one (K, B) index transfer over K optimizer steps. Enabled by
     ``cfg.train.steps_per_dispatch > 1``. Per-step losses/preds/trues/masks
     come back stacked for the logger.
+
+    Two executables, picked per dispatch by a HOST-side check on the numpy
+    ``sels``: groups with no all-padding filler batch (every group but the
+    trailing one) run guard-free; only a group carrying a filler batch pays
+    the filler-select traffic. Each variant compiles lazily on first use.
     """
     donate = (1,) if cfg.parallel.donate else ()
-    jitted = jax.jit(scan_steps_core(cfg, model, tx, loader, flat_carry),
-                     donate_argnums=donate)
     tree = loader.arenas_tree
-    return lambda state, sels, rng: jitted(tree, state, sels, rng)
+    jitted: Dict[bool, Any] = {}
+
+    def run(state, sels, rng):
+        sels_h = np.asarray(sels) if isinstance(sels, np.ndarray) \
+            else np.asarray(jax.device_get(sels))
+        need_guard = not bool((sels_h >= 0).any(axis=-1).all())
+        if need_guard not in jitted:
+            jitted[need_guard] = jax.jit(
+                scan_steps_core(cfg, model, tx, loader, flat_carry,
+                                guard=need_guard),
+                donate_argnums=donate)
+        return jitted[need_guard](tree, state, jnp.asarray(sels), rng)
+
+    return run
 
 
 def make_fused_steps(cfg, model, tx, loader):
@@ -751,8 +780,9 @@ def train_epoch_scan(cfg, state, loader, logger: SplitLogger, multi_step,
     t_epoch = time.time()
     rng, base = jax.random.split(rng)
     for gi in range(n_groups):
+        # sel stays numpy so multi_step's host-side filler check is free
         state, losses, preds, trues, masks = multi_step(
-            state, jnp.asarray(sel[gi]), jax.random.fold_in(base, gi))
+            state, sel[gi], jax.random.fold_in(base, gi))
         for k in range(K):
             if reals[gi, k] == 0:
                 continue

@@ -99,6 +99,55 @@ def test_phantom_batches_do_not_touch_state():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_unguarded_scan_matches_guarded_on_real_groups():
+    """make_scan_steps dispatches a guard-free executable when the host sees
+    no all-padding batch in the group; it must be bitwise-identical to the
+    guarded executable on such groups (the guard's jnp.where is a no-op
+    there)."""
+    import jax
+    import jax.numpy as jnp
+
+    import graphgps_tpu.data.datasets  # noqa: F401
+    import graphgps_tpu.train.loop as L
+    from graphgps_tpu.config.config import new_cfg
+    from graphgps_tpu.data.datasets.base import load_dataset
+    from graphgps_tpu.data.device_loader import DeviceLoader
+    from graphgps_tpu.models.networks import build_model
+    from graphgps_tpu.optim.optimizers import make_tx
+
+    cfg = new_cfg()
+    cfg.dataset.synth_num_graphs = 24
+    cfg.dataset.synth_max_nodes = 12
+    cfg.gt.layers = 1
+    cfg.gt.dim_hidden = 16
+    cfg.gt.n_heads = 2
+    cfg.gnn.dim_inner = 16
+    cfg.train.batch_size = 4
+    cfg.train.steps_per_dispatch = 4
+    cfg.parallel.donate = False
+    ds = load_dataset(cfg)
+    loader = DeviceLoader(ds.train, batch_size=4)
+    model = build_model(cfg, 1)
+    tx = make_tx(cfg)
+    _, gb0 = next(iter(loader))
+    state = L.init_state(cfg, model, gb0, 0, tx)
+    tree = loader.arenas_tree
+    key = jax.random.PRNGKey(3)
+    sel = jnp.asarray(np.arange(16).reshape(4, 4).astype(np.int32))
+
+    g_on = jax.jit(L.scan_steps_core(cfg, model, tx, loader, guard=True))
+    g_off = jax.jit(L.scan_steps_core(cfg, model, tx, loader, guard=False))
+    s_g, *_ = g_on(tree, state, sel, key)
+    s_u, *_ = g_off(tree, state, sel, key)
+    assert int(np.asarray(s_g.step)) == int(np.asarray(s_u.step)) == 4
+    for a, b in zip(jax.tree_util.tree_leaves(s_g.params),
+                    jax.tree_util.tree_leaves(s_u.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s_g.opt_state),
+                    jax.tree_util.tree_leaves(s_u.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_flat_carry_matches_tree_carry():
     """The raveled-carry scan (default with the fused flat optimizer) must be
     numerically identical to the per-leaf-carry scan: same leaf order, same
