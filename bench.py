@@ -21,8 +21,11 @@ throughput benchmark into an enqueue-rate benchmark. The fetch costs one
 and subtracted via the measured RTT. Ground truth was cross-checked against
 the TPU's own trace clock (tools/device_time.py, "XLA Modules" lane):
 bench and device-clock agree within ~5% on every stage after this fix.
-MFU: XLA's compiled cost-analysis FLOPs / step time / v5e bf16 peak
-(197 TFLOP/s); on f32 runs the MXU still executes bf16 passes, so the same
+MFU: hand-derived model matmul FLOPs (``_model_flops``) / step time / v5e
+bf16 peak (197 TFLOP/s) — XLA's compiled cost analysis sees NOTHING inside
+Pallas kernels (it reported 0.08% on the fused pcqm stage), so cost-analysis
+FLOPs appear only as an explicitly-labeled lower bound on stages with no
+hand model. On f32 runs the MXU still executes bf16 passes, so the same
 peak is the honest denominator.
 
 Baseline: the reference is PyTorch+PyG on one A100; the derived pcqm-deep
@@ -49,6 +52,12 @@ V5E_PEAK_FLOPS = 197e12  # bf16 MXU peak per chip
 # Wall-clock includes the reference's per-epoch eval, so this slightly
 # flatters our ratio; it is the only published per-shape anchor.
 PCQM_DEEP_A100_GRAPHS_PER_S = 2242.0
+
+# Second derived anchor (VERDICT r4 #6): GPS-medium trains in ~48 h on the
+# same A100 (/root/reference/README.md:71), same 150-epoch x 3,228,606-graph
+# schedule (configs/GPS/pcqm4m-GPSmedium+RWSE.yaml):
+#   3,228,606 x 150 / (48*3600 s) ≈ 2,803 graphs/s.
+PCQM_MEDIUM_A100_GRAPHS_PER_S = 2803.0
 
 
 def _drain(x):
@@ -191,6 +200,19 @@ def _pcqm256_cfg(new_cfg):
     return cfg, 1
 
 
+def _pcqm_medium_cfg(new_cfg):
+    # GPS-medium shape (configs/GPS/pcqm4m-GPSmedium+RWSE.yaml → reference
+    # pcqm4m-GPSmedium+RWSE.yaml: 10×384d, 16 heads, dropout 0.1/0.1, gelu,
+    # san_graph, bs 256, ~48 h A100). Same molecule distribution as the deep
+    # stage; its own derived baseline PCQM_MEDIUM_A100_GRAPHS_PER_S.
+    cfg, d = _pcqm256_cfg(new_cfg)
+    cfg.gt.layers = 10
+    cfg.gt.dim_hidden = 384
+    cfg.gt.n_heads = 16
+    cfg.gnn.dim_inner = 384
+    return cfg, d
+
+
 def _pcqm256_bf16_cfg(new_cfg):
     # same recipe under the bf16 storage policy (cfg.mixed_precision —
     # train/precision.py: f32 master params/optimizer, bf16 activations).
@@ -225,6 +247,16 @@ def _model_flops(cfg, B, Nmax, Ecap):
         return None
     if glob == "Transformer":
         fl_glob = 2 * S * d * 3 * d + 4 * B * Nmax * Nmax * d + 2 * S * d * d
+    elif glob == "Performer":
+        # FAVOR+ (ops/favor.py, reference performer_layer.py kernelized
+        # attention): QKV proj + q'/k' feature maps (per head (S, Dh)@(Dh, m))
+        # + k'^T v aggregation + q'@(kv) + out proj. m mirrors the layer's
+        # default nb_features = Dh·ln(Dh). Local-window heads (if configured)
+        # cost ≤ the global-head terms, so this stays a lower bound.
+        H = cfg.gt.n_heads
+        Dh = max(d // H, 1)
+        m = int(Dh * np.log(max(Dh, 2)))
+        fl_glob = 2 * S * d * 3 * d + 8 * S * m * d + 2 * S * d * d
     else:
         return None
     fl_ffn = 8 * S * d * d
@@ -261,10 +293,9 @@ def bench_scan(make_cfg, K=8, windows=5, groups=40):
     # same structure as L.make_scan_steps, but keep the jitted handle so the
     # compiled cost analysis (→ MFU) comes from the SAME executable
     donate = (1,) if cfg.parallel.donate else ()
-    # guard=False: the bench sel below is all-real, which in production
-    # dispatches the guard-free executable (make_scan_steps host-side check;
-    # only the trailing partial group of an epoch runs guarded)
-    jitted = jax.jit(L.scan_steps_core(cfg, model, tx, loader, guard=False),
+    # guard=True matches production: the guard-free variant A/B'd ~1 ms
+    # SLOWER at the pcqm shape (fusion fragmentation — see make_scan_steps)
+    jitted = jax.jit(L.scan_steps_core(cfg, model, tx, loader),
                      donate_argnums=donate)
     tree = loader.arenas_tree
     multi = lambda st, sels, rng: jitted(tree, st, sels, rng)  # noqa: E731
@@ -310,15 +341,20 @@ def bench_scan(make_cfg, K=8, windows=5, groups=40):
     out = dict(step_ms=round(step_s * 1e3, 4),
                edges_per_sec=round(real_edges / step_s, 1),
                steps_per_dispatch=K)
-    if flops:
-        out["flops_per_step"] = flops
-        out["mfu_vs_v5e_bf16_peak"] = round(flops / step_s / V5E_PEAK_FLOPS, 4)
     mf = _model_flops(cfg, B, loader.max_nodes,
                       loader.arenas.senders.shape[1])
     if mf:
-        # the honest MFU once Pallas kernels hide work from cost analysis
+        # THE MFU figure: hand-derived model matmul FLOPs (XLA's cost
+        # analysis sees nothing inside Pallas kernels)
         out["model_flops_per_step"] = mf
         out["mfu_model"] = round(mf / step_s / V5E_PEAK_FLOPS, 4)
+    elif flops:
+        # fallback only when no hand model exists; on kernel-bearing stages
+        # cost analysis is blind to the Pallas work, so this is a LOWER
+        # bound on utilization, not an MFU claim
+        out["xla_visible_flops_per_step"] = flops
+        out["mfu_xla_visible_lower_bound"] = round(
+            flops / step_s / V5E_PEAK_FLOPS, 4)
     return out
 
 
@@ -524,6 +560,10 @@ def main():
         ("pcqm_deep_bs256_bf16",
          "bench.bench_scan(bench._pcqm256_bf16_cfg, K=8, windows=3,"
          " groups=25)"),
+        # second derived anchor: GPS-medium 10x384 (~48 h A100 → 2,803 g/s)
+        ("pcqm_medium_bs256",
+         "bench.bench_scan(bench._pcqm_medium_cfg, K=8, windows=3,"
+         " groups=20)"),
         # long-context rung (MalNet recipe, N≈5k → GatedGCN + FAVOR+): keeps
         # the driver artifact covering the attention ladder (VERDICT r3 #7);
         # LAST — it is the slowest stage and the first to drop to the budget
@@ -538,6 +578,11 @@ def main():
             flush(extra)
             continue
         extra[name] = _run_stage_subprocess(call, max(left, 150))
+        if name == "pcqm_medium_bs256" and "step_ms" in extra[name]:
+            g = 256.0 / (extra[name]["step_ms"] / 1e3)
+            extra[name]["graphs_per_sec"] = round(g, 1)
+            extra[name]["vs_baseline_medium"] = round(
+                g / PCQM_MEDIUM_A100_GRAPHS_PER_S, 3)
         print(f"[bench] {name}: {extra[name]}", file=sys.stderr)
         flush(extra)
     pcqm = extra.get("pcqm_deep_bs256", {})

@@ -309,19 +309,27 @@ def make_scan_steps(cfg, model, tx, loader, flat_carry: Optional[bool] = None):
     ``cfg.train.steps_per_dispatch > 1``. Per-step losses/preds/trues/masks
     come back stacked for the logger.
 
-    Two executables, picked per dispatch by a HOST-side check on the numpy
-    ``sels``: groups with no all-padding filler batch (every group but the
-    trailing one) run guard-free; only a group carrying a filler batch pays
-    the filler-select traffic. Each variant compiles lazily on first use.
+    Guard-free dispatch (GGPS_SCAN_GUARD_SPLIT=1): pick a guard-free
+    executable per dispatch via a HOST-side check on the numpy ``sels``
+    when the group has no all-padding filler batch. OFF by default — the
+    device-clock A/B at the pcqm-deep shape (round 5) measured the
+    guard-free program consistently ~1 ms SLOWER (19.8 → 20.9 ms): the
+    filler selects act as fusion anchors, and removing them fragments
+    XLA's fusion groups (5158 → 5793 device events/step, GatedGCN-scope
+    +0.6 ms). The guarded program pays ~0.5 ms of select traffic but wins
+    net; docs/RESULTS.md round 5 records the experiment.
     """
     donate = (1,) if cfg.parallel.donate else ()
     tree = loader.arenas_tree
     jitted: Dict[bool, Any] = {}
+    split = os.environ.get("GGPS_SCAN_GUARD_SPLIT") == "1"
 
     def run(state, sels, rng):
-        sels_h = np.asarray(sels) if isinstance(sels, np.ndarray) \
-            else np.asarray(jax.device_get(sels))
-        need_guard = not bool((sels_h >= 0).any(axis=-1).all())
+        need_guard = True
+        if split:
+            sels_h = np.asarray(sels) if isinstance(sels, np.ndarray) \
+                else np.asarray(jax.device_get(sels))
+            need_guard = not bool((sels_h >= 0).any(axis=-1).all())
         if need_guard not in jitted:
             jitted[need_guard] = jax.jit(
                 scan_steps_core(cfg, model, tx, loader, flat_carry,

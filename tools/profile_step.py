@@ -74,7 +74,9 @@ def main():
     tx = make_tx(cfg)
     _, gb = next(iter(loader))
     state = L.init_state(cfg, model, gb, 0, tx)
-    jitted = jax.jit(L.scan_steps_core(cfg, model, tx, loader))
+    # GGPS_PROFILE_GUARD=0 profiles the guard-free executable variant
+    guard = os.environ.get("GGPS_PROFILE_GUARD", "1") == "1"
+    jitted = jax.jit(L.scan_steps_core(cfg, model, tx, loader, guard=guard))
     tree = loader.arenas_tree
 
     n = loader.arenas.num_graphs_total
