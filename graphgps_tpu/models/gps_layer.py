@@ -68,6 +68,20 @@ class GPSLayer(nn.Module):
     bigbird_num_random_blocks: int = 3
     bigbird_attention_type: str = "block_sparse"  # or "original_full"
 
+    def _attn_tail(self, batch, h_in, h_attn, train: bool, defer: bool):
+        """dropout+residual then post-norm of the attention branch
+        (reference gps_layer.py:138-160). When ``defer``, the norm runs
+        stats_only (same params/variables) and the apply is fused into the
+        combine+FFN kernel; returns (s_attn, mu, inv, gamma, beta)."""
+        s = self._drop_add(h_in, h_attn, train)
+        if not defer:
+            return Norm(batch_norm=self.batch_norm,
+                        layer_norm=self.layer_norm,
+                        eps=self.norm_eps)(s, batch.node_mask, train)
+        mu, va, sc, bi = Norm(batch_norm=self.batch_norm, stats_only=True,
+                              eps=self.norm_eps)(s, batch.node_mask, train)
+        return (s, mu, jax.lax.rsqrt(va + self.norm_eps), sc, bi)
+
     def _drop_add(self, x_in, v, train: bool):
         """x_in + dropout(v): fused Pallas kernel (on-chip PRNG, one pass)
         when the dropout is active and the shape qualifies; plain XLA
@@ -90,11 +104,15 @@ class GPSLayer(nn.Module):
                  layer_idx: Optional[jax.Array] = None):
         # ``layer_idx``: traced per-layer index used under nn.scan (where the
         # static self.layer_index is shared by every layer of the stack)
+        from ..ops.pallas.fused_combine import combine_eligible
         from ..parallel.mesh import constrain_nodes
+        from .local_gnn import DeferredXTail
         x = constrain_nodes(x)  # pin canonical DP layout at layer boundary
         h_in = x
         d = self.dim_h
         outs = []
+        deferred_local = None   # DeferredXTail → combine+FFN kernel fuses
+        deferred_attn = None    # (s_attn, mu, inv, gamma, beta)
 
         # ---- local MPNN branch ------------------------------------------------
         lt = self.local_gnn_type
@@ -102,10 +120,21 @@ class GPSLayer(nn.Module):
             if lt == "CustomGatedGCN":
                 # GatedGCN handles its own norm/act/dropout/residual and returns
                 # updated edge features (reference gps_layer.py:163-174).
+                # When the branch-combine+FFN kernel applies, the x tail is
+                # DEFERRED into it (ops/pallas/fused_combine.py) — one launch
+                # for tail + attn norm-apply + branch sum + FFN.
+                want_defer = (self.global_model_type != "None"
+                              and self.batch_norm and not self.layer_norm
+                              and (d % 128 == 0
+                                   or (train and self.dropout > 0))
+                              and combine_eligible(x.shape[0], d, self.act))
                 h_local, e = GatedGCNLayer(
                     dim=d, dropout=self.dropout, residual=True, act=self.act,
                     equivstable_pe=self.equivstable_pe,
-                    batch_norm=self.batch_norm)(batch, x, e, train)
+                    batch_norm=self.batch_norm,
+                    defer_x_tail=want_defer)(batch, x, e, train)
+                if isinstance(h_local, DeferredXTail):
+                    deferred_local, h_local = h_local, None
             else:
                 if lt == "GINE":
                     h_local, _ = GINELayer(dim=d, act=self.act,
@@ -130,7 +159,8 @@ class GPSLayer(nn.Module):
                                layer_norm=self.layer_norm,
                                eps=self.norm_eps)(
                                    h_local, batch.node_mask, train)
-            outs.append(h_local)
+            if h_local is not None:
+                outs.append(h_local)
 
         # ---- global attention branch -----------------------------------------
         gt = self.global_model_type
@@ -200,12 +230,12 @@ class GPSLayer(nn.Module):
                     xd, kmask.astype(xd.dtype), wqkv.reshape(d, 3 * d),
                     bqkv.reshape(3 * d), wo, bo, seed, H, rate)
                 h_attn = batch.flat_view(od)
-                h_attn = self._drop_add(h_in, h_attn, train)
-                h_attn = Norm(batch_norm=self.batch_norm,
-                              layer_norm=self.layer_norm,
-                              eps=self.norm_eps)(
-                    h_attn, batch.node_mask, train)
-                outs.append(h_attn)
+                if deferred_local is not None:
+                    deferred_attn = self._attn_tail(batch, h_in, h_attn,
+                                                    train, True)
+                else:
+                    outs.append(self._attn_tail(batch, h_in, h_attn,
+                                                train, False))
                 gt = "None"  # skip the unfused attention tail below
 
             if gt != "None":
@@ -241,12 +271,12 @@ class GPSLayer(nn.Module):
                             xd_p, counts, wq_p, bq_p, wo_p, bo_p, seed, H,
                             1.0 / float(d // H) ** 0.5, rate)[..., :d]
                         h_attn = batch.flat_view(od)
-                        h_attn = self._drop_add(h_in, h_attn, train)
-                        h_attn = Norm(batch_norm=self.batch_norm,
-                                      layer_norm=self.layer_norm,
-                                      eps=self.norm_eps)(
-                            h_attn, batch.node_mask, train)
-                        outs.append(h_attn)
+                        if deferred_local is not None:
+                            deferred_attn = self._attn_tail(
+                                batch, h_in, h_attn, train, True)
+                        else:
+                            outs.append(self._attn_tail(
+                                batch, h_in, h_attn, train, False))
                         gt = "None"
 
         if gt != "None":
@@ -350,11 +380,12 @@ class GPSLayer(nn.Module):
                 from ..parallel.mesh import constrain_nodes
                 h_attn = constrain_nodes(h_attn)
             h_attn = h_attn @ wo + bo                     # output projection
-            h_attn = self._drop_add(h_in, h_attn, train)
-            h_attn = Norm(batch_norm=self.batch_norm, layer_norm=self.layer_norm,
-                          eps=self.norm_eps)(
-                h_attn, batch.node_mask, train)
-            outs.append(h_attn)
+            if deferred_local is not None:
+                deferred_attn = self._attn_tail(batch, h_in, h_attn,
+                                                train, True)
+            else:
+                outs.append(self._attn_tail(batch, h_in, h_attn,
+                                            train, False))
 
         h = sum(outs) if outs else x
 
@@ -363,7 +394,32 @@ class GPSLayer(nn.Module):
                                              tail_eligible)
         a = get_act(self.act)
         dense1, dense2 = nn.Dense(d * 2), nn.Dense(d)
-        if (tail_eligible(h.shape[0], d, self.act) and h.ndim == 2
+        if deferred_local is not None:
+            # branch-combine + FFN in ONE kernel (ops/pallas/fused_combine):
+            # local x-tail apply + attention norm-apply + branch sum + the
+            # whole FFN block never leave VMEM. Probe rows create the same
+            # Dense_0/Dense_1 params as the unfused path.
+            from ..ops.pallas.fused_combine import fused_combine_ffn_padded
+            assert deferred_attn is not None, \
+                "combine kernel needs the attention branch deferred too"
+            _ = dense1(deferred_local.x_in[:1])
+            _ = dense2(jnp.zeros((1, d * 2), deferred_local.x_in.dtype))
+            k = lambda m: m.variables["params"]["kernel"]   # noqa: E731
+            b = lambda m: m.variables["params"]["bias"]     # noqa: E731
+            rate = self.dropout if train else 0.0
+            if rate > 0.0:
+                seed = jax.random.bits(self.make_rng("dropout"), (),
+                                       jnp.uint32).astype(jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            s_attn, mu_a, inv_a, sc_a, bi_a = deferred_attn
+            dl = deferred_local
+            h = fused_combine_ffn_padded(
+                dl.x_in, dl.v, dl.mu, dl.inv, dl.gamma, dl.beta,
+                s_attn, mu_a, inv_a, sc_a, bi_a,
+                k(dense1), b(dense1), k(dense2), b(dense2),
+                seed, rate, self.act)
+        elif (tail_eligible(h.shape[0], d, self.act) and h.ndim == 2
                 and (d % 128 == 0 or (train and self.dropout > 0))):
             # whole FFN block in one Pallas kernel (both matmuls, act, both
             # dropouts, residual — the (R, 2d) intermediate never leaves

@@ -8,7 +8,7 @@ segment-aggregate to receivers. Signature: ``(batch, x, e, train) → (x', e')``
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,20 @@ def _es_pe_scale(batch: GraphBatch, mlp: nn.Module) -> Optional[jax.Array]:
     return mlp(jnp.sum(diff * diff, axis=-1, keepdims=True))
 
 
+class DeferredXTail(NamedTuple):
+    """GatedGCNLayer's x-tail handed to the caller unapplied: the GPS layer
+    fuses it (BN-apply + act + dropout + residual) into the branch-combine
+    + FFN kernel (ops/pallas/fused_combine.py) instead of a standalone
+    fused_pre_tail launch. ``inv`` is rsqrt(var + eps)."""
+
+    x_in: jax.Array
+    v: jax.Array            # pre-norm node update (Ax + num/den)
+    mu: jax.Array
+    inv: jax.Array
+    gamma: jax.Array
+    beta: jax.Array
+
+
 @register_layer("gatedgcnconv")
 class GatedGCNLayer(nn.Module):
     """Residual gated graph convnet (Bresson & Laurent) — updates BOTH node and
@@ -56,6 +70,11 @@ class GatedGCNLayer(nn.Module):
     act: str = "relu"
     equivstable_pe: bool = False
     batch_norm: bool = True
+    # GPS-layer fusion hook: when True AND the fused-tail path is active,
+    # return (DeferredXTail, e_new) instead of applying the x tail here
+    # (the e tail always applies). Callers must handle the plain-tensor
+    # return when the fused path is ineligible.
+    defer_x_tail: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, x, e, train: bool):
@@ -207,17 +226,26 @@ class GatedGCNLayer(nn.Module):
             me, ve, sce, bie = Norm(batch_norm=True, stats_only=True)(
                 e_gate, batch.edge_mask, train, mom_e)
             if rate > 0.0:
-                seed_x = jax.random.bits(self.make_rng("dropout"), (),
-                                         jnp.uint32).astype(jnp.int32)
                 seed_e = jax.random.bits(self.make_rng("dropout"), (),
                                          jnp.uint32).astype(jnp.int32)
             else:
-                seed_x = seed_e = jnp.zeros((), jnp.int32)
+                seed_e = jnp.zeros((), jnp.int32)
             eps = 1e-5  # Norm default
-            x_new = fused_pre_tail(x_in, x_new, mx, jax.lax.rsqrt(vx + eps),
-                                   scx, bix, seed_x, rate, self.act)
             e_new = fused_pre_tail(e_in, e_gate, me, jax.lax.rsqrt(ve + eps),
                                    sce, bie, seed_e, rate, self.act)
+            if self.defer_x_tail:
+                # hand the unapplied x tail to the GPS layer's combine+FFN
+                # kernel (one launch instead of pre_tail + norm-apply + add)
+                return DeferredXTail(x_in=x_in, v=x_new, mu=mx,
+                                     inv=jax.lax.rsqrt(vx + eps),
+                                     gamma=scx, beta=bix), e_new
+            if rate > 0.0:
+                seed_x = jax.random.bits(self.make_rng("dropout"), (),
+                                         jnp.uint32).astype(jnp.int32)
+            else:
+                seed_x = jnp.zeros((), jnp.int32)
+            x_new = fused_pre_tail(x_in, x_new, mx, jax.lax.rsqrt(vx + eps),
+                                   scx, bix, seed_x, rate, self.act)
             return x_new, e_new
 
         a = get_act(self.act)
