@@ -180,6 +180,19 @@ def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int,
                          preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
         return out.reshape((num_segments,) + data.shape[1:]).astype(data.dtype)
+    if jnp.issubdtype(data.dtype, jnp.floating):
+        # long-graph rung: tiled sorted segment-sum kernel (block-aligned
+        # one-hot MXU contractions instead of XLA scatter-add;
+        # ops/pallas/segment_tiled.py) — the torch_scatter replacement at
+        # MalNet scale
+        from .pallas.segment_tiled import tiled_eligible, tiled_segment_sum
+        flat = data.reshape(data.shape[0], -1)
+        if tiled_eligible(flat.shape[0], num_segments, flat.shape[1]):
+            out = tiled_segment_sum(
+                _apply_mask(flat, mask, 0).astype(jnp.float32),
+                segment_ids.astype(jnp.int32), num_segments)
+            return out.reshape((num_segments,) + data.shape[1:]).astype(
+                data.dtype)
     if (os.environ.get("GGPS_USE_CSR_KERNEL", "0") == "1"
             and jnp.issubdtype(data.dtype, jnp.floating) and data.ndim == 2
             and num_segments % 128 == 0 and jax.default_backend() == "tpu"):
@@ -337,6 +350,14 @@ def _sbt_fwd(num_rows, x, idx):
 
 
 def _sbt_bwd(num_rows, idx, g):
+    from .pallas.segment_tiled import tiled_eligible, tiled_segment_sum
+    if g.ndim == 2 and tiled_eligible(g.shape[0], num_rows, g.shape[1]):
+        # the gather-backward scatter is the single largest scatter pool at
+        # MalNet scale (round-3 profile: 21.6 ms/step) — route it through
+        # the tiled kernel too
+        dx = tiled_segment_sum(g.astype(jnp.float32),
+                               idx.astype(jnp.int32), num_rows)
+        return dx.astype(g.dtype), None
     perm = jnp.argsort(idx)
     dx = jax.ops.segment_sum(
         jnp.take(g, perm, axis=0), jnp.take(idx, perm),
