@@ -35,8 +35,24 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_gps_attn import _dot, _dot_nt, _dot_tn, _m1t, _blk
 from .fused_gatedgcn import _dot_dt, _interpret
 
+import os as _os
+
 NEG_INF = -1e30
-CK = 128                       # key-chunk width (lanes)
+
+
+def _pick_ck(N: int, d_padded: int, H: int):
+    """Key-chunk width: the largest of 512/256/128 that divides N and keeps
+    the packed working set under the VMEM cap. Round-5 device sweep at the
+    VOC shape (N=512, dp=128, H=8): ck=256/512 beat 128 by ~8%
+    (10.6 → 9.8 ms/step — fewer online-softmax iterations and correction
+    passes); the old fixed ck=128 + 12 MB cap forced the slower point.
+    GGPS_WIDE_CK / GGPS_WIDE_VMEM_MB override for A/B."""
+    env = _os.environ.get("GGPS_WIDE_CK")
+    cap = int(_os.environ.get("GGPS_WIDE_VMEM_MB", "20")) << 20
+    for ck in ([int(env)] if env else [512, 256, 128]):
+        if N % ck == 0 and (H * N) * (3 * d_padded + 2 * ck) * 4 <= cap:
+            return ck
+    return None
 
 
 def _params():
@@ -75,7 +91,7 @@ def _qkv(x_ref, wqkv_ref, bqkv_ref, N, d):
 
 
 def _fwd_kernel(scal_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
-                o_ref, *, N, d, H, scale, rate):
+                o_ref, *, N, d, H, scale, rate, ck):
     f32 = jnp.float32
     b = pl.program_id(0)
     seed = scal_ref[0]
@@ -88,7 +104,7 @@ def _fwd_kernel(scal_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     qblk = (_blk(q[None].astype(dt), m1t, 1, H)[0]
             * jnp.asarray(scale, dt))                     # (H·N, d)
 
-    C = N // CK
+    C = N // ck
 
     # STATIC unroll over key chunks (C ≤ 6 inside the eligibility envelope):
     # Mosaic lowers neither fori_loop-carried dynamic_slice of VALUES nor
@@ -97,10 +113,10 @@ def _fwd_kernel(scal_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
     l = jnp.zeros((H * N, 1), f32)
     acc = jnp.zeros((H * N, d), f32)
     for c in range(C):
-        ks = k[c * CK:(c + 1) * CK, :]
-        vs = v[c * CK:(c + 1) * CK, :]
-        logits = _dot_nt(qblk, ks)                         # (H·N, CK)
-        col = jax.lax.broadcasted_iota(jnp.int32, (H * N, CK), 1) + c * CK
+        ks = k[c * ck:(c + 1) * ck, :]
+        vs = v[c * ck:(c + 1) * ck, :]
+        logits = _dot_nt(qblk, ks)                         # (H·N, ck)
+        col = jax.lax.broadcasted_iota(jnp.int32, (H * N, ck), 1) + c * ck
         logits = jnp.where(col < cnt, logits, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         p = jnp.exp(logits - m_new)
@@ -120,7 +136,7 @@ def _fwd_kernel(scal_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref,
 
 def _bwd_kernel(scal_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
                 dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
-                *, N, d, H, scale, rate):
+                *, N, d, H, scale, rate, ck):
     f32 = jnp.float32
     b = pl.program_id(0)
     seed = scal_ref[0]
@@ -135,15 +151,15 @@ def _bwd_kernel(scal_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
     do_merged = _dot_nt(gout, wo)                          # (N, d)
     dout_blk = _blk(do_merged[None].astype(dt), m1t, 1, H)[0]  # (H·N, d)
 
-    C = N // CK
+    C = N // ck
 
     # pass 1: softmax statistics (m, l); static unroll (see fwd note)
     m = jnp.full((H * N, 1), NEG_INF, f32)
     l = jnp.zeros((H * N, 1), f32)
     for c in range(C):
-        ks = k[c * CK:(c + 1) * CK, :]
+        ks = k[c * ck:(c + 1) * ck, :]
         logits = _dot_nt(qblk, ks)
-        col = jax.lax.broadcasted_iota(jnp.int32, (H * N, CK), 1) + c * CK
+        col = jax.lax.broadcasted_iota(jnp.int32, (H * N, ck), 1) + c * ck
         logits = jnp.where(col < cnt, logits, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1, keepdims=True))
         l = l * jnp.exp(m - m_new) + jnp.sum(
@@ -155,10 +171,10 @@ def _bwd_kernel(scal_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
     o_blk = jnp.zeros((H * N, d), f32)
     D = jnp.zeros((H * N, 1), f32)
     for c in range(C):
-        ks = k[c * CK:(c + 1) * CK, :]
-        vs = v[c * CK:(c + 1) * CK, :]
+        ks = k[c * ck:(c + 1) * ck, :]
+        vs = v[c * ck:(c + 1) * ck, :]
         logits = _dot_nt(qblk, ks)
-        col = jax.lax.broadcasted_iota(jnp.int32, (H * N, CK), 1) + c * CK
+        col = jax.lax.broadcasted_iota(jnp.int32, (H * N, ck), 1) + c * ck
         logits = jnp.where(col < cnt, logits, NEG_INF)
         p = jnp.exp(logits - m) * linv                     # true P
         pd = p
@@ -167,7 +183,7 @@ def _bwd_kernel(scal_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
             pd = p * keep * inv
         o_blk = o_blk + _dot(pd, vs)
         # dPd[r, c] = <dO_blk[r], V[c]> ; D = rowsum(dPd·Pd)
-        dpd = _dot_nt(dout_blk, vs)                        # (H·N, CK)
+        dpd = _dot_nt(dout_blk, vs)                        # (H·N, ck)
         D = D + jnp.sum(dpd * pd, axis=-1, keepdims=True)
 
     # pass 3: dq (accumulated) and per-chunk dk/dv (each key chunk appears
@@ -175,10 +191,10 @@ def _bwd_kernel(scal_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, g_ref,
     dqblk = jnp.zeros((H * N, d), f32)
     dk_blocks, dv_blocks = [], []
     for c in range(C):
-        ks = k[c * CK:(c + 1) * CK, :]
-        vs = v[c * CK:(c + 1) * CK, :]
+        ks = k[c * ck:(c + 1) * ck, :]
+        vs = v[c * ck:(c + 1) * ck, :]
         logits = _dot_nt(qblk, ks)
-        col = jax.lax.broadcasted_iota(jnp.int32, (H * N, CK), 1) + c * CK
+        col = jax.lax.broadcasted_iota(jnp.int32, (H * N, ck), 1) + c * ck
         logits = jnp.where(col < cnt, logits, NEG_INF)
         p = jnp.exp(logits - m) * linv
         dpd = _dot_nt(dout_blk, vs)
@@ -252,7 +268,7 @@ def _w_specs(d):
 def _fwd_call(x, counts, wqkv, bqkv, wo, bo, seed, H, scale, rate):
     B, N, d = x.shape
     kern = functools.partial(_fwd_kernel, N=N, d=d, H=H, scale=scale,
-                             rate=rate)
+                             rate=rate, ck=_pick_ck(N, d, H))
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -283,7 +299,7 @@ def _vjp_bwd(H, scale, rate, res, g):
     B, N, d = x.shape
     f32 = jnp.float32
     kern = functools.partial(_bwd_kernel, N=N, d=d, H=H, scale=scale,
-                             rate=rate)
+                             rate=rate, ck=_pick_ck(N, d, H))
     dx, dwqkv, dbqkv, dwo, dbo = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -354,6 +370,5 @@ def wide_eligible(B: int, N: int, d_padded: int, H: int) -> bool:
 
     if not dp_compatible(B):
         return False
-    vmem = (H * N) * (3 * d_padded + 2 * CK) * 4  # qblk+acc+dout + 2 tiles
-    return (128 < N <= 768 and N % CK == 0 and d_padded % 128 == 0
-            and d_padded // H >= 8 and vmem <= (12 << 20))
+    return (128 < N <= 768 and d_padded % 128 == 0
+            and d_padded // H >= 8 and _pick_ck(N, d_padded, H) is not None)
