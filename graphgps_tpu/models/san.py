@@ -136,18 +136,24 @@ class SANLayer(nn.Module):
         h = nn.Dense(self.dim_h)(h)
         if self.residual:
             h = h_in + h
-        h = Norm(batch_norm=self.batch_norm, layer_norm=self.layer_norm)(
-            h, batch.node_mask, train)
-        h_in2 = h
         a = get_act(self.act)
+        from ..ops.pallas.fused_combine import (combine_eligible,
+                                               fused_bn_ffn_padded)
         from ..ops.pallas.fused_tail import (fused_ffn_padded, tail_eligible)
         dense1, dense2 = nn.Dense(self.dim_h * 2), nn.Dense(self.dim_h)
-        if (self.residual and h.ndim == 2
-                and tail_eligible(h.shape[0], self.dim_h, self.act)
-                and (self.dim_h % 128 == 0
-                     or (train and self.dropout > 0))):
-            # SAN FFN through the fused kernel (drop2=False: SAN applies
-            # only the inner dropout, san.py reference san_layer.py FFN)
+        use_bnffn = (self.residual and self.batch_norm
+                     and not self.layer_norm and h.ndim == 2
+                     and combine_eligible(h.shape[0], self.dim_h, self.act)
+                     and (self.dim_h % 128 == 0
+                          or (train and self.dropout > 0)))
+        if use_bnffn:
+            # attention-branch BN-apply + whole FFN in ONE kernel
+            # (ops/pallas/fused_combine.fused_bn_ffn): statistics stay in
+            # MaskedBatchNorm stats_only (same params/variables); SAN's
+            # residual rides the NORMED tensor and only the inner dropout
+            # applies (reference san_layer.py FFN → drop2=False).
+            mu, va, sc, bi = Norm(batch_norm=True, stats_only=True)(
+                h, batch.node_mask, train)
             _ = dense1(h[:1])
             _ = dense2(jnp.zeros((1, self.dim_h * 2), h.dtype))
             k = lambda m: m.variables["params"]["kernel"]   # noqa: E731
@@ -158,15 +164,39 @@ class SANLayer(nn.Module):
                                        jnp.uint32).astype(jnp.int32)
             else:
                 seed = jnp.zeros((), jnp.int32)
-            h2 = fused_ffn_padded(h, k(dense1), b(dense1), k(dense2),
-                                  b(dense2), seed, rate, self.act,
-                                  drop2=False)
+            h2 = fused_bn_ffn_padded(
+                h, mu, jax.lax.rsqrt(va + 1e-5), sc, bi,
+                k(dense1), b(dense1), k(dense2), b(dense2), seed, rate,
+                self.act, drop2=False)
         else:
-            h2 = dense1(h)
-            h2 = nn.Dropout(self.dropout, deterministic=not train)(a(h2))
-            h2 = dense2(h2)
-            if self.residual:
-                h2 = h_in2 + h2
+            h = Norm(batch_norm=self.batch_norm, layer_norm=self.layer_norm)(
+                h, batch.node_mask, train)
+            h_in2 = h
+            if (self.residual and h.ndim == 2
+                    and tail_eligible(h.shape[0], self.dim_h, self.act)
+                    and (self.dim_h % 128 == 0
+                         or (train and self.dropout > 0))):
+                # SAN FFN through the fused kernel (drop2=False: SAN applies
+                # only the inner dropout, reference san_layer.py FFN)
+                _ = dense1(h[:1])
+                _ = dense2(jnp.zeros((1, self.dim_h * 2), h.dtype))
+                k = lambda m: m.variables["params"]["kernel"]   # noqa: E731
+                b = lambda m: m.variables["params"]["bias"]     # noqa: E731
+                rate = self.dropout if train else 0.0
+                if rate > 0.0:
+                    seed = jax.random.bits(self.make_rng("dropout"), (),
+                                           jnp.uint32).astype(jnp.int32)
+                else:
+                    seed = jnp.zeros((), jnp.int32)
+                h2 = fused_ffn_padded(h, k(dense1), b(dense1), k(dense2),
+                                      b(dense2), seed, rate, self.act,
+                                      drop2=False)
+            else:
+                h2 = dense1(h)
+                h2 = nn.Dropout(self.dropout, deterministic=not train)(a(h2))
+                h2 = dense2(h2)
+                if self.residual:
+                    h2 = h_in2 + h2
         h2 = Norm(batch_norm=self.batch_norm, layer_norm=self.layer_norm)(
             h2, batch.node_mask, train)
         h2 = jnp.where(batch.node_mask[:, None], h2, 0.0)

@@ -347,6 +347,229 @@ def fused_combine_ffn_padded(x_in, v_loc, mu_x, inv_x, ga_x, be_x,
     return out[..., :d]
 
 
+# --------------------------------------------------------------------------
+# fused_bn_ffn: h = bn(s); out = h + drop2(W2·drop1(act(W1·h+b1)) + b2)
+# The SAN layer's attention-norm-apply + FFN block in one launch
+# (reference san_layer.py:123-216: norm → FFN(residual on the NORMED
+# tensor) → norm; SAN applies only the inner dropout — drop2=False there).
+# --------------------------------------------------------------------------
+
+def _bf_fwd_kernel(seed_ref, sa_ref, mua_ref, iva_ref, gaa_ref, bea_ref,
+                   w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, rate, act,
+                   drop2):
+    f32 = jnp.float32
+    h = ((sa_ref[:].astype(f32) - mua_ref[0].astype(f32))
+         * iva_ref[0].astype(f32) * gaa_ref[0].astype(f32)
+         + bea_ref[0].astype(f32))
+    a1 = _dot(h, w1_ref[:].astype(f32)) + b1_ref[0].astype(f32)
+    zf = _act_f(act, a1)
+    if rate > 0.0:
+        k1, s1 = _keep(seed_ref, 1, zf.shape, rate)
+        zf = zf * k1 * s1
+    a2 = _dot(zf, w2_ref[:].astype(f32)) + b2_ref[0].astype(f32)
+    if rate > 0.0 and drop2:
+        k2, s2 = _keep(seed_ref, 2, a2.shape, rate)
+        a2 = a2 * k2 * s2
+    o_ref[:] = (h + a2).astype(o_ref.dtype)
+
+
+def _bf_bwd_kernel(seed_ref, sa_ref, mua_ref, iva_ref, gaa_ref, bea_ref,
+                   w1_ref, b1_ref, w2_ref, g_ref,
+                   dsa_ref, dmua_ref, diva_ref, dgaa_ref, dbea_ref,
+                   dw1_ref, db1_ref, dw2_ref, db2_ref, *, rate, act, drop2):
+    f32 = jnp.float32
+    sa = sa_ref[:].astype(f32)
+    mua = mua_ref[0].astype(f32)
+    iva = iva_ref[0].astype(f32)
+    gaa = gaa_ref[0].astype(f32)
+    w1 = w1_ref[:].astype(f32)
+    w2 = w2_ref[:].astype(f32)
+    h = (sa - mua) * iva * gaa + bea_ref[0].astype(f32)
+    a1 = _dot(h, w1) + b1_ref[0].astype(f32)
+    zf = _act_f(act, a1)
+    if rate > 0.0:
+        k1, s1 = _keep(seed_ref, 1, zf.shape, rate)
+        u = zf * k1 * s1
+        if drop2:
+            k2, s2 = _keep(seed_ref, 2, (zf.shape[0], w2.shape[1]), rate)
+    else:
+        u = zf
+    g = g_ref[:].astype(f32)
+    da2 = g * k2 * s2 if (rate > 0.0 and drop2) else g
+    du = _dot_nt(da2, w2)
+    dzf = du * k1 * s1 if rate > 0.0 else du
+    da1 = dzf * _act_df(act, a1)
+    dh = g + _dot_nt(da1, w1)
+
+    yhat = (sa - mua) * iva
+    dsa = dh * iva * gaa
+    dsa_ref[:] = dsa.astype(dsa_ref.dtype)
+    dgaa = jnp.sum(dh * yhat, axis=0, keepdims=True)
+    dbea = jnp.sum(dh, axis=0, keepdims=True)
+    dmua = -jnp.sum(dsa, axis=0, keepdims=True)
+    diva = jnp.sum(dh * gaa * (sa - mua), axis=0, keepdims=True)
+    dw1 = _dot_tn(h, da1)
+    db1 = jnp.sum(da1, axis=0, keepdims=True)
+    dw2 = _dot_tn(u, da2)
+    db2 = jnp.sum(da2, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dmua_ref[:] = dmua
+        diva_ref[:] = diva
+        dgaa_ref[:] = dgaa
+        dbea_ref[:] = dbea
+        dw1_ref[:] = dw1
+        db1_ref[:] = db1
+        dw2_ref[:] = dw2
+        db2_ref[:] = db2
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        dmua_ref[:] += dmua
+        diva_ref[:] += diva
+        dgaa_ref[:] += dgaa
+        dbea_ref[:] += dbea
+        dw1_ref[:] += dw1
+        db1_ref[:] += db1
+        dw2_ref[:] += dw2
+        db2_ref[:] += db2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def fused_bn_ffn(s, mu, inv, gamma, beta, w1, b1, w2, b2, seed,
+                 rate: float, act: str, drop2: bool = False):
+    """s: (R, d); stats vectors (d,); FFN weights as in fused_ffn.
+    Returns h + drop2?(W2·drop1(act(W1·h+b1))+b2) with h = BN-apply(s) —
+    the residual rides the NORMED tensor (SAN semantics)."""
+    return _bf_fwd(s, mu, inv, gamma, beta, w1, b1, w2, b2, seed, rate,
+                   act, drop2)
+
+
+def _bf_fwd(s, mu, inv, gamma, beta, w1, b1, w2, b2, seed, rate, act,
+            drop2):
+    R, d = s.shape
+    dh = w1.shape[1]
+    RB = _ffn_block(R, d, dh)
+    kern = functools.partial(_bf_fwd_kernel, rate=rate, act=act, drop2=drop2)
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(R // RB,),
+            in_specs=_row_specs(RB, d, 1) + _vec_specs(d, 4) + [
+                pl.BlockSpec((d, dh), lambda i, s: (0, 0)),
+                pl.BlockSpec((1, dh), lambda i, s: (0, 0)),
+                pl.BlockSpec((dh, d), lambda i, s: (0, 0)),
+                pl.BlockSpec((1, d), lambda i, s: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((RB, d), lambda i, s: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, d), s.dtype),
+        interpret=_interpret(),
+        compiler_params=_params(),
+    )(_seed_arr(seed), s, mu.reshape(1, d), inv.reshape(1, d),
+      gamma.reshape(1, d), beta.reshape(1, d), w1, b1.reshape(1, dh),
+      w2, b2.reshape(1, d))
+
+
+def _bf_vjp_fwd(s, mu, inv, gamma, beta, w1, b1, w2, b2, seed, rate, act,
+                drop2):
+    y = _bf_fwd(s, mu, inv, gamma, beta, w1, b1, w2, b2, seed, rate, act,
+                drop2)
+    return y, (s, mu, inv, gamma, beta, w1, b1, w2, b2, seed)
+
+
+def _bf_vjp_bwd(rate, act, drop2, res, g):
+    s, mu, inv, gamma, beta, w1, b1, w2, b2, seed = res
+    R, d = s.shape
+    dh = w1.shape[1]
+    RB = _ffn_block(R, d, dh)
+    f32 = jnp.float32
+    kern = functools.partial(_bf_bwd_kernel, rate=rate, act=act, drop2=drop2)
+    row = pl.BlockSpec((RB, d), lambda i, s: (i, 0))
+    (dsa, dmua, diva, dgaa, dbea, dw1, db1, dw2, db2) = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(R // RB,),
+            in_specs=_row_specs(RB, d, 1) + _vec_specs(d, 4) + [
+                pl.BlockSpec((d, dh), lambda i, s: (0, 0)),
+                pl.BlockSpec((1, dh), lambda i, s: (0, 0)),
+                pl.BlockSpec((dh, d), lambda i, s: (0, 0)),
+            ] + _row_specs(RB, d, 1),
+            out_specs=[row] + _vec_specs(d, 4) + [
+                pl.BlockSpec((d, dh), lambda i, s: (0, 0)),
+                pl.BlockSpec((1, dh), lambda i, s: (0, 0)),
+                pl.BlockSpec((dh, d), lambda i, s: (0, 0)),
+                pl.BlockSpec((1, d), lambda i, s: (0, 0)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((R, d), s.dtype)]
+        + [jax.ShapeDtypeStruct((1, d), f32)] * 4
+        + [jax.ShapeDtypeStruct((d, dh), f32),
+           jax.ShapeDtypeStruct((1, dh), f32),
+           jax.ShapeDtypeStruct((dh, d), f32),
+           jax.ShapeDtypeStruct((1, d), f32)],
+        interpret=_interpret(),
+        compiler_params=_params(),
+    )(_seed_arr(seed), s, mu.reshape(1, d), inv.reshape(1, d),
+      gamma.reshape(1, d), beta.reshape(1, d), w1, b1.reshape(1, dh),
+      w2, g)
+    return (dsa,
+            dmua.reshape(-1).astype(mu.dtype),
+            diva.reshape(-1).astype(inv.dtype),
+            dgaa.reshape(-1).astype(gamma.dtype),
+            dbea.reshape(-1).astype(beta.dtype),
+            dw1.astype(w1.dtype), db1.reshape(-1).astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.reshape(-1).astype(b2.dtype),
+            _f0(seed) if jnp.issubdtype(seed.dtype, jnp.integer) else None)
+
+
+fused_bn_ffn.defvjp(_bf_vjp_fwd, _bf_vjp_bwd)
+
+
+def fused_bn_ffn_spmd(s, mu, inv, gamma, beta, w1, b1, w2, b2, seed,
+                      rate, act, drop2=False):
+    from .spmd import dp_mesh, dp_shard_map, fold_shard_seed
+
+    mesh = dp_mesh(s.shape[0])
+    if mesh is None:
+        return fused_bn_ffn(s, mu, inv, gamma, beta, w1, b1, w2, b2, seed,
+                            rate, act, drop2)
+    P = jax.sharding.PartitionSpec
+    row = P("data", None)
+    rep = P(None)
+
+    def body(s, mu, inv, gamma, beta, w1, b1, w2, b2, seed):
+        return fused_bn_ffn(s, mu, inv, gamma, beta, w1, b1, w2, b2,
+                            fold_shard_seed(seed), rate, act, drop2)
+
+    return dp_shard_map(
+        body, mesh,
+        in_specs=(row, rep, rep, rep, rep, rep, rep, rep, rep, P()),
+        out_specs=row,
+    )(s, mu, inv, gamma, beta, w1, b1, w2, b2,
+      jnp.asarray(seed, jnp.int32))
+
+
+def fused_bn_ffn_padded(s, mu, inv, gamma, beta, w1, b1, w2, b2, seed,
+                        rate, act, drop2=False):
+    d = s.shape[-1]
+    dh = w1.shape[1]
+    dp, dhp = _ceil128(d), _ceil128(dh)
+    if dp == d and dhp == dh:
+        return fused_bn_ffn_spmd(s, mu, inv, gamma, beta, w1, b1, w2, b2,
+                                 seed, rate, act, drop2)
+    p = lambda t: _pad_last(t, dp)          # noqa: E731
+    w1p = jnp.pad(w1, ((0, dp - d), (0, dhp - dh)))
+    w2p = jnp.pad(w2, ((0, dhp - dh), (0, dp - d)))
+    out = fused_bn_ffn_spmd(p(s), p(mu), p(inv), p(gamma), p(beta),
+                            w1p, _pad_last(b1, dhp), w2p, p(b2),
+                            seed, rate, act, drop2)
+    return out[..., :d]
+
+
 def combine_eligible(R: int, d: int, act: str) -> bool:
     """Gate for the combine kernel: shared tail envelope + the FFN row
     block must exist at the padded width. GGPS_FUSED_COMBINE=0 kills it

@@ -178,3 +178,79 @@ def test_gps_layer_combine_dispatches():
     finally:
         fc.fused_combine_ffn_padded = orig
     assert called.get("yes"), "combine kernel did not dispatch"
+
+
+def test_bn_ffn_matches_reference():
+    """fused_bn_ffn == BN-apply -> FFN (residual on normed tensor,
+    drop2=False) at rate 0, values and grads."""
+    from graphgps_tpu.models.common import get_act
+    from graphgps_tpu.ops.pallas.fused_combine import fused_bn_ffn
+
+    rng = np.random.default_rng(11)
+    R, d = 64, 128
+    f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    s, mu = f(R, d), f(d) * 0.1
+    inv = jnp.abs(f(d)) + 0.5
+    ga, be = f(d) * 0.2 + 1.0, f(d) * 0.1
+    w1, b1 = f(d, 2 * d) / np.sqrt(d), f(2 * d) * 0.05
+    w2, b2 = f(2 * d, d) / np.sqrt(2 * d), f(d) * 0.05
+    seed = jnp.zeros((), jnp.int32)
+    a = get_act("relu")
+
+    def ref(s, w1, w2, ga):
+        h = (s - mu) * inv * ga + be
+        return h + (a(h @ w1 + b1) @ w2 + b2)
+
+    def fused(s, w1, w2, ga):
+        return fused_bn_ffn(s, mu, inv, ga, be, w1, b1, w2, b2, seed,
+                            0.0, "relu", False)
+
+    np.testing.assert_allclose(np.asarray(fused(s, w1, w2, ga)),
+                               np.asarray(ref(s, w1, w2, ga)),
+                               rtol=2e-5, atol=2e-5)
+    gf = jax.grad(lambda *A: jnp.sum(fused(*A) ** 2), argnums=(0, 1, 2, 3))(
+        s, w1, w2, ga)
+    gr = jax.grad(lambda *A: jnp.sum(ref(*A) ** 2), argnums=(0, 1, 2, 3))(
+        s, w1, w2, ga)
+    for i, (x, y) in enumerate(zip(gf, gr)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"grad {i}")
+
+
+def test_san_layer_bn_ffn_parity(monkeypatch):
+    """SANLayer with the bn_ffn kernel on vs off: identical loss/grads at
+    dropout=0; same param pytree."""
+    from graphgps_tpu.models.san import SANLayer
+    from tests.test_fused_gatedgcn import _blocked_batch
+
+    batch, x, e, *_ = _blocked_batch(8, 8, 16, 128, seed=13)
+
+    def run(on):
+        if not on:
+            monkeypatch.setenv("GGPS_FUSED_COMBINE", "0")
+        else:
+            monkeypatch.delenv("GGPS_FUSED_COMBINE", raising=False)
+        layer = SANLayer(dim_h=128, num_heads=4, gamma=0.1, full_graph=True,
+                         dropout=0.0, batch_norm=True, residual=True)
+        var = layer.init(jax.random.PRNGKey(3), batch, x, e, True)
+
+        def loss(params):
+            (xo, _), _ = layer.apply(
+                {"params": params, "batch_stats": var["batch_stats"]},
+                batch, x, e, True, mutable=["batch_stats"])
+            return jnp.sum((xo * batch.node_mask[:, None]) ** 2)
+
+        val, g = jax.value_and_grad(loss)(var["params"])
+        monkeypatch.delenv("GGPS_FUSED_COMBINE", raising=False)
+        return var, val, g
+
+    var_on, val_on, g_on = run(True)
+    var_off, val_off, g_off = run(False)
+    assert (jax.tree_util.tree_structure(var_on["params"])
+            == jax.tree_util.tree_structure(var_off["params"]))
+    np.testing.assert_allclose(float(val_on), float(val_off), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), rtol=2e-4, atol=2e-4),
+        g_on, g_off)
