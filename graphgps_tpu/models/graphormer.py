@@ -46,15 +46,41 @@ class GraphormerLayer(nn.Module):
         h = nn.Dense(d)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         seq = seq + h
-        # pre-LN MLP
-        h = nn.LayerNorm()(seq)
-        # exact erf GELU (torch nn.GELU() default, reference graphormer_layer
-        # .py:33; jax defaults to the tanh approximation)
-        h = jax.nn.gelu(nn.Dense(d)(h), approximate=False)
-        h = nn.Dropout(self.mlp_dropout, deterministic=not train)(h)
-        h = nn.Dense(d)(h)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        seq = seq + h
+        # pre-LN MLP — LayerNorm is per-row, so the whole block (LN + both
+        # Denses + GELU + both dropouts + residual) fuses into ONE Pallas
+        # launch when eligible (ops/pallas/fused_combine.fused_ln_ffn;
+        # masked-lane LN statistics keep non-128 widths exact)
+        from ..ops.pallas.fused_combine import (fused_ln_ffn_padded,
+                                                ln_ffn_eligible)
+        B2, N2, _ = seq.shape
+        ln2 = nn.LayerNorm()
+        dense1, dense2 = nn.Dense(d), nn.Dense(d)
+        if ln_ffn_eligible(B2 * N2, d, "gelu"):
+            _ = ln2(seq[:1, :1])
+            _ = dense1(seq[:1, :1])
+            _ = dense2(seq[:1, :1])
+            pv = lambda m, n: m.variables["params"][n]      # noqa: E731
+            r1 = self.mlp_dropout if train else 0.0
+            r2 = self.dropout if train else 0.0
+            if r1 > 0.0 or r2 > 0.0:
+                seed = jax.random.bits(self.make_rng("dropout"), (),
+                                       jnp.uint32).astype(jnp.int32)
+            else:
+                seed = jnp.zeros((), jnp.int32)
+            seq = fused_ln_ffn_padded(
+                seq.reshape(B2 * N2, d), pv(ln2, "scale"), pv(ln2, "bias"),
+                pv(dense1, "kernel"), pv(dense1, "bias"),
+                pv(dense2, "kernel"), pv(dense2, "bias"),
+                seed, r1, r2, "gelu").reshape(B2, N2, d)
+        else:
+            h = ln2(seq)
+            # exact erf GELU (torch nn.GELU() default, reference
+            # graphormer_layer.py:33; jax defaults to tanh approximation)
+            h = jax.nn.gelu(dense1(h), approximate=False)
+            h = nn.Dropout(self.mlp_dropout, deterministic=not train)(h)
+            h = dense2(h)
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
+            seq = seq + h
         if tok is not None:
             batch.extras["graph_token_state"] = seq[:, 0, :]
             seq = seq[:, 1:, :]

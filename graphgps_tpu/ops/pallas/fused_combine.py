@@ -570,6 +570,244 @@ def fused_bn_ffn_padded(s, mu, inv, gamma, beta, w1, b1, w2, b2, seed,
     return out[..., :d]
 
 
+# --------------------------------------------------------------------------
+# fused_ln_ffn: out = h0 + drop2(W2·drop1(act(W1·LN(h0)+b1)) + b2)
+# Graphormer's pre-LN MLP block (reference graphormer_layer.py:30-38) in one
+# launch. LayerNorm is per-ROW, so the whole block fuses with no
+# cross-batch statistics barrier; two independent dropout rates
+# (mlp_dropout inner, dropout outer).
+# --------------------------------------------------------------------------
+
+def _ln(h0, ga, be, eps, dt):
+    """LayerNorm over the first ``dt`` lanes (rows arrive zero-padded to the
+    lane width; statistics divide by the TRUE width so padding is exact)."""
+    lanes = (jax.lax.broadcasted_iota(jnp.int32, h0.shape, 1)
+             < dt).astype(jnp.float32)
+    mu = jnp.sum(h0 * lanes, axis=1, keepdims=True) / dt
+    xc = (h0 - mu) * lanes
+    inv = jax.lax.rsqrt(jnp.sum(xc * xc, axis=1, keepdims=True) / dt + eps)
+    yh = xc * inv
+    return yh, inv, lanes, yh * ga + be
+
+
+def _lf_fwd_kernel(seed_ref, h0_ref, ga_ref, be_ref, w1_ref, b1_ref,
+                   w2_ref, b2_ref, o_ref, *, r1, r2, act, eps, dt):
+    f32 = jnp.float32
+    h0 = h0_ref[:].astype(f32)
+    _, _, _, h = _ln(h0, ga_ref[0].astype(f32), be_ref[0].astype(f32),
+                     eps, dt)
+    a1 = _dot(h, w1_ref[:].astype(f32)) + b1_ref[0].astype(f32)
+    zf = _act_f(act, a1)
+    if r1 > 0.0:
+        k1, s1 = _keep(seed_ref, 1, zf.shape, r1)
+        zf = zf * k1 * s1
+    a2 = _dot(zf, w2_ref[:].astype(f32)) + b2_ref[0].astype(f32)
+    if r2 > 0.0:
+        k2, s2 = _keep(seed_ref, 2, a2.shape, r2)
+        a2 = a2 * k2 * s2
+    o_ref[:] = (h0 + a2).astype(o_ref.dtype)
+
+
+def _lf_bwd_kernel(seed_ref, h0_ref, ga_ref, be_ref, w1_ref, b1_ref,
+                   w2_ref, g_ref,
+                   dh0_ref, dga_ref, dbe_ref, dw1_ref, db1_ref,
+                   dw2_ref, db2_ref, *, r1, r2, act, eps, dt):
+    f32 = jnp.float32
+    h0 = h0_ref[:].astype(f32)
+    ga = ga_ref[0].astype(f32)
+    w1 = w1_ref[:].astype(f32)
+    w2 = w2_ref[:].astype(f32)
+    yh, inv, lanes, h = _ln(h0, ga, be_ref[0].astype(f32), eps, dt)
+    a1 = _dot(h, w1) + b1_ref[0].astype(f32)
+    zf = _act_f(act, a1)
+    if r1 > 0.0:
+        k1, s1 = _keep(seed_ref, 1, zf.shape, r1)
+        u = zf * k1 * s1
+    else:
+        u = zf
+    if r2 > 0.0:
+        k2, s2 = _keep(seed_ref, 2, (zf.shape[0], w2.shape[1]), r2)
+
+    g = g_ref[:].astype(f32)
+    da2 = g * k2 * s2 if r2 > 0.0 else g
+    du = _dot_nt(da2, w2)
+    dzf = du * k1 * s1 if r1 > 0.0 else du
+    da1 = dzf * _act_df(act, a1)
+    dh = _dot_nt(da1, w1)              # cotangent of LN OUTPUT (no residual)
+
+    dga = jnp.sum(dh * yh, axis=0, keepdims=True)
+    dbe = jnp.sum(dh * lanes, axis=0, keepdims=True)
+    dyh = dh * ga
+    # LayerNorm backward (per row, over the dt true lanes):
+    # inv·(dyh − mean(dyh) − yh·mean(dyh·yh))
+    m1 = jnp.sum(dyh * lanes, axis=1, keepdims=True) / dt
+    m2 = jnp.sum(dyh * yh, axis=1, keepdims=True) / dt
+    dh0 = g + inv * (dyh - lanes * m1 - yh * m2)
+    dh0_ref[:] = dh0.astype(dh0_ref.dtype)
+    dw1 = _dot_tn(h, da1)
+    db1 = jnp.sum(da1, axis=0, keepdims=True)
+    dw2 = _dot_tn(u, da2)
+    db2 = jnp.sum(da2, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dga_ref[:] = dga
+        dbe_ref[:] = dbe
+        dw1_ref[:] = dw1
+        db1_ref[:] = db1
+        dw2_ref[:] = dw2
+        db2_ref[:] = db2
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        dga_ref[:] += dga
+        dbe_ref[:] += dbe
+        dw1_ref[:] += dw1
+        db1_ref[:] += db1
+        dw2_ref[:] += dw2
+        db2_ref[:] += db2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def fused_ln_ffn(h0, ga, be, w1, b1, w2, b2, seed,
+                 r1: float, r2: float, act: str, eps: float = 1e-6,
+                 dt: int = 0):
+    """h0: (R, dp); ga/be: (dp,) LayerNorm params; FFN weights as
+    fused_ffn. ``dt``: the TRUE feature width (0 → dp) — rows may arrive
+    zero-padded to the lane width; LN statistics divide by dt so padding
+    is exact. Returns h0 + drop_r2(W2·drop_r1(act(W1·LN(h0)+b1)) + b2)."""
+    return _lf_fwd(h0, ga, be, w1, b1, w2, b2, seed, r1, r2, act, eps, dt)
+
+
+def _lf_fwd(h0, ga, be, w1, b1, w2, b2, seed, r1, r2, act, eps, dt):
+    R, d = h0.shape
+    dh = w1.shape[1]
+    RB = _ffn_block(R, d, dh)
+    kern = functools.partial(_lf_fwd_kernel, r1=r1, r2=r2, act=act, eps=eps,
+                             dt=dt or d)
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(R // RB,),
+            in_specs=_row_specs(RB, d, 1) + _vec_specs(d, 2) + [
+                pl.BlockSpec((d, dh), lambda i, s: (0, 0)),
+                pl.BlockSpec((1, dh), lambda i, s: (0, 0)),
+                pl.BlockSpec((dh, d), lambda i, s: (0, 0)),
+                pl.BlockSpec((1, d), lambda i, s: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((RB, d), lambda i, s: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((R, d), h0.dtype),
+        interpret=_interpret(),
+        compiler_params=_params(),
+    )(_seed_arr(seed), h0, ga.reshape(1, d), be.reshape(1, d),
+      w1, b1.reshape(1, dh), w2, b2.reshape(1, d))
+
+
+def _lf_vjp_fwd(h0, ga, be, w1, b1, w2, b2, seed, r1, r2, act, eps, dt):
+    y = _lf_fwd(h0, ga, be, w1, b1, w2, b2, seed, r1, r2, act, eps, dt)
+    return y, (h0, ga, be, w1, b1, w2, b2, seed)
+
+
+def _lf_vjp_bwd(r1, r2, act, eps, dt, res, g):
+    h0, ga, be, w1, b1, w2, b2, seed = res
+    R, d = h0.shape
+    dh = w1.shape[1]
+    RB = _ffn_block(R, d, dh)
+    f32 = jnp.float32
+    kern = functools.partial(_lf_bwd_kernel, r1=r1, r2=r2, act=act, eps=eps,
+                             dt=dt or d)
+    row = pl.BlockSpec((RB, d), lambda i, s: (i, 0))
+    (dh0, dga, dbe, dw1, db1, dw2, db2) = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(R // RB,),
+            in_specs=_row_specs(RB, d, 1) + _vec_specs(d, 2) + [
+                pl.BlockSpec((d, dh), lambda i, s: (0, 0)),
+                pl.BlockSpec((1, dh), lambda i, s: (0, 0)),
+                pl.BlockSpec((dh, d), lambda i, s: (0, 0)),
+            ] + _row_specs(RB, d, 1),
+            out_specs=[row] + _vec_specs(d, 2) + [
+                pl.BlockSpec((d, dh), lambda i, s: (0, 0)),
+                pl.BlockSpec((1, dh), lambda i, s: (0, 0)),
+                pl.BlockSpec((dh, d), lambda i, s: (0, 0)),
+                pl.BlockSpec((1, d), lambda i, s: (0, 0)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((R, d), h0.dtype)]
+        + [jax.ShapeDtypeStruct((1, d), f32)] * 2
+        + [jax.ShapeDtypeStruct((d, dh), f32),
+           jax.ShapeDtypeStruct((1, dh), f32),
+           jax.ShapeDtypeStruct((dh, d), f32),
+           jax.ShapeDtypeStruct((1, d), f32)],
+        interpret=_interpret(),
+        compiler_params=_params(),
+    )(_seed_arr(seed), h0, ga.reshape(1, d), be.reshape(1, d),
+      w1, b1.reshape(1, dh), w2, g)
+    return (dh0,
+            dga.reshape(-1).astype(ga.dtype),
+            dbe.reshape(-1).astype(be.dtype),
+            dw1.astype(w1.dtype), db1.reshape(-1).astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.reshape(-1).astype(b2.dtype),
+            _f0(seed) if jnp.issubdtype(seed.dtype, jnp.integer) else None)
+
+
+fused_ln_ffn.defvjp(_lf_vjp_fwd, _lf_vjp_bwd)
+
+
+def fused_ln_ffn_spmd(h0, ga, be, w1, b1, w2, b2, seed, r1, r2, act,
+                      eps=1e-6, dt=0):
+    from .spmd import dp_mesh, dp_shard_map, fold_shard_seed
+
+    mesh = dp_mesh(h0.shape[0])
+    if mesh is None:
+        return fused_ln_ffn(h0, ga, be, w1, b1, w2, b2, seed, r1, r2, act,
+                            eps, dt)
+    P = jax.sharding.PartitionSpec
+    row = P("data", None)
+    rep = P(None)
+
+    def body(h0, ga, be, w1, b1, w2, b2, seed):
+        return fused_ln_ffn(h0, ga, be, w1, b1, w2, b2,
+                            fold_shard_seed(seed), r1, r2, act, eps, dt)
+
+    return dp_shard_map(
+        body, mesh, in_specs=(row, rep, rep, rep, rep, rep, rep, P()),
+        out_specs=row,
+    )(h0, ga, be, w1, b1, w2, b2, jnp.asarray(seed, jnp.int32))
+
+
+def fused_ln_ffn_padded(h0, ga, be, w1, b1, w2, b2, seed, r1, r2, act,
+                        eps=1e-6):
+    """Zero-pad non-lane-aligned widths; LN statistics stay EXACT because
+    the kernel divides by the true width dt (masked-lane stats)."""
+    d = h0.shape[-1]
+    dh = w1.shape[1]
+    dp, dhp = _ceil128(d), _ceil128(dh)
+    if dp == d and dhp == dh:
+        return fused_ln_ffn_spmd(h0, ga, be, w1, b1, w2, b2, seed, r1, r2,
+                                 act, eps, 0)
+    p = lambda t: _pad_last(t, dp)          # noqa: E731
+    w1p = jnp.pad(w1, ((0, dp - d), (0, dhp - dh)))
+    w2p = jnp.pad(w2, ((0, dhp - dh), (0, dp - d)))
+    out = fused_ln_ffn_spmd(p(h0), p(ga), p(be), w1p, _pad_last(b1, dhp),
+                            w2p, p(b2), seed, r1, r2, act, eps, d)
+    return out[..., :d]
+
+
+def ln_ffn_eligible(R: int, d: int, act: str) -> bool:
+    """Graphormer pre-LN MLP fusion gate: the shared tail envelope (padding
+    is exact — masked-lane LN statistics). GGPS_FUSED_COMBINE=0 kills it
+    with the rest of the family."""
+    import os
+
+    if os.environ.get("GGPS_FUSED_COMBINE") == "0":
+        return False
+    return tail_eligible(R, d, act)
+
+
 def combine_eligible(R: int, d: int, act: str) -> bool:
     """Gate for the combine kernel: shared tail envelope + the FFN row
     block must exist at the padded width. GGPS_FUSED_COMBINE=0 kills it

@@ -254,3 +254,81 @@ def test_san_layer_bn_ffn_parity(monkeypatch):
         lambda p, q: np.testing.assert_allclose(
             np.asarray(p), np.asarray(q), rtol=2e-4, atol=2e-4),
         g_on, g_off)
+
+
+@pytest.mark.parametrize("d", [128, 80])
+def test_ln_ffn_matches_reference(d):
+    """fused_ln_ffn == LayerNorm -> Dense -> gelu -> Dense -> residual at
+    rate 0, values and grads — including NON-lane-aligned width (masked-lane
+    LN statistics must keep padding exact)."""
+    from graphgps_tpu.ops.pallas.fused_combine import fused_ln_ffn_padded
+
+    rng = np.random.default_rng(17)
+    R = 64
+    f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    h0 = f(R, d)
+    ga, be = f(d) * 0.2 + 1.0, f(d) * 0.1
+    w1, b1 = f(d, d) / np.sqrt(d), f(d) * 0.05
+    w2, b2 = f(d, d) / np.sqrt(d), f(d) * 0.05
+    seed = jnp.zeros((), jnp.int32)
+
+    def ref(h0, w1, w2, ga):
+        mu = h0.mean(axis=1, keepdims=True)
+        xc = h0 - mu
+        inv = jax.lax.rsqrt((xc * xc).mean(axis=1, keepdims=True) + 1e-6)
+        h = xc * inv * ga + be
+        z = jax.nn.gelu(h @ w1 + b1, approximate=False)
+        return h0 + (z @ w2 + b2)
+
+    def fused(h0, w1, w2, ga):
+        return fused_ln_ffn_padded(h0, ga, be, w1, b1, w2, b2, seed,
+                                   0.0, 0.0, "gelu")
+
+    np.testing.assert_allclose(np.asarray(fused(h0, w1, w2, ga)),
+                               np.asarray(ref(h0, w1, w2, ga)),
+                               rtol=3e-5, atol=3e-5)
+    gf = jax.grad(lambda *A: jnp.sum(fused(*A) ** 2), argnums=(0, 1, 2, 3))(
+        h0, w1, w2, ga)
+    gr = jax.grad(lambda *A: jnp.sum(ref(*A) ** 2), argnums=(0, 1, 2, 3))(
+        h0, w1, w2, ga)
+    for i, (x, y) in enumerate(zip(gf, gr)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"grad {i} d={d}")
+
+
+def test_graphormer_layer_ln_ffn_parity(monkeypatch):
+    """GraphormerLayer with the ln_ffn kernel on vs off: identical output
+    and grads at dropout=0; same param pytree."""
+    from graphgps_tpu.models.graphormer import GraphormerLayer
+    from tests.test_fused_gatedgcn import _blocked_batch
+
+    batch, x, e, *_ = _blocked_batch(8, 8, 16, 128, seed=19)
+
+    def run(on):
+        if not on:
+            monkeypatch.setenv("GGPS_FUSED_COMBINE", "0")
+        else:
+            monkeypatch.delenv("GGPS_FUSED_COMBINE", raising=False)
+        layer = GraphormerLayer(dim_h=128, num_heads=4, dropout=0.0,
+                                attn_dropout=0.0, mlp_dropout=0.0)
+        var = layer.init(jax.random.PRNGKey(5), batch, x, e, True)
+
+        def loss(params):
+            (xo, _), _ = layer.apply(
+                {"params": params}, batch, x, e, True, mutable=[])
+            return jnp.sum((xo * batch.node_mask[:, None]) ** 2)
+
+        val, g = jax.value_and_grad(loss)(var["params"])
+        monkeypatch.delenv("GGPS_FUSED_COMBINE", raising=False)
+        return var, val, g
+
+    var_on, val_on, g_on = run(True)
+    var_off, val_off, g_off = run(False)
+    assert (jax.tree_util.tree_structure(var_on["params"])
+            == jax.tree_util.tree_structure(var_off["params"]))
+    np.testing.assert_allclose(float(val_on), float(val_off), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), rtol=3e-4, atol=3e-4),
+        g_on, g_off)
