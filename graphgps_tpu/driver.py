@@ -251,21 +251,33 @@ def main(argv=None) -> None:
 
     run_ids, seeds, split_indices = run_loop_settings(cfg, args.repeat)
     handled = False
-    if (cfg.train.parallel_seeds and len(run_ids) > 1 and mesh is None
-            and len(set(split_indices)) == 1):
-        # seed-parallel: one vmapped trainer advances every seed per dispatch
-        from .train.multiseed import run_multiseed
-        cfg.dataset.split_index = split_indices[0]
-        handled = run_multiseed(cfg, run_ids, seeds)
-    for run_id, seed, split_index in zip(
-            *([], [], []) if handled else (run_ids, seeds, split_indices)):
-        cfg.seed = seed
-        cfg.run_id = run_id
-        cfg.dataset.split_index = split_index
-        np.random.seed(seed)
-        run_dir = os.path.join(cfg.out_dir, str(run_id))
-        log.info("=== run %s (seed %d, split %d) ===", run_id, seed, split_index)
-        run_single(cfg, run_dir, mesh)
+    try:
+        if (cfg.train.parallel_seeds and len(run_ids) > 1 and mesh is None
+                and len(set(split_indices)) == 1):
+            # seed-parallel: one vmapped trainer advances every seed per
+            # dispatch
+            from .train.multiseed import run_multiseed
+            cfg.dataset.split_index = split_indices[0]
+            handled = run_multiseed(cfg, run_ids, seeds)
+        for run_id, seed, split_index in zip(
+                *([], [], []) if handled else (run_ids, seeds, split_indices)):
+            cfg.seed = seed
+            cfg.run_id = run_id
+            cfg.dataset.split_index = split_index
+            np.random.seed(seed)
+            run_dir = os.path.join(cfg.out_dir, str(run_id))
+            log.info("=== run %s (seed %d, split %d) ===",
+                     run_id, seed, split_index)
+            run_single(cfg, run_dir, mesh)
+    finally:
+        # clear the ambient mesh at run END as well as run start: a stale
+        # model>1 mesh flips fused-kernel eligibility (dp_compatible) for
+        # any LATER single-device work in the same process — bit the test
+        # suite (round-5: a driver test's mesh leaked into
+        # test_fused_edge_gate's eligibility asserts)
+        if mesh is not None:
+            set_current_mesh(None)
+            set_edge_partition(False)
     try:
         # pass the RESOLVED metric so cross-run best-epoch selection can
         # never drift from the in-run selection (VERDICT r2 weak #7)
