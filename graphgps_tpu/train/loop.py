@@ -136,7 +136,12 @@ def _build_raw_steps(cfg, model, tx, flat: Optional[bool] = None):
         pred = pred.astype(jnp.float32)
         mask = _loss_mask(cfg, batch, pred)
         loss = compute_loss(cfg, pred, true, mask)
-        return loss, (mut.get("batch_stats", FrozenDict()), pred, true)
+        # stat-less models (Graphormer/LN-only): flax's mutable=["batch_stats"]
+        # returns an EMPTY plain dict, while init_state stores FrozenDict() —
+        # coerce so the TrainState pytree TYPE is step-stable (an AOT-compiled
+        # step re-called with its own output tripped the mismatch, round 5)
+        bs_out = mut.get("batch_stats", None) or FrozenDict()
+        return loss, (bs_out, pred, true)
 
     def train_step(state: TrainState, batch: GraphBatch, rng):
         (loss, (bs, pred, true)), grads = jax.value_and_grad(
