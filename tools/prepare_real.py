@@ -95,7 +95,7 @@ GATES = """
    pcqm4m-GPSmedium+RWSE.yaml; GPS-deep ~0.0852):
      python main.py --cfg configs/GPS/pcqm4m-GPSmedium+RWSE.yaml \\
          dataset.dir {d} dataset.synthetic_fallback False
-   (~13,400 graphs/s/chip at the GPS-deep shape -> ~=10h for 150 epochs
+   (~13,000 graphs/s/chip at the GPS-deep shape -> ~=10.3h for 150 epochs
     of the 3.23M-graph train split on ONE v5e chip vs ~60h on A100.)
 Aggregate results land in <out_dir>/agg; per-seed best in agg/val/best.json.
 =========================================================================
