@@ -452,6 +452,12 @@ def validate_cfg(cfg: CfgNode) -> None:
 def resolve_metric_best(cfg: CfgNode) -> str:
     """'auto' → task-appropriate default (reference logger behavior)."""
     if cfg.metric_best != "auto":
+        # the stats key for ROC-AUC is 'auc' (reference logger.py:91);
+        # accept the common 'auroc' spelling — round 5 found five generated
+        # configs using it, which silently fell back to argmax-on-LOSS in
+        # best-epoch selection
+        if cfg.metric_best == "auroc":
+            return "auc"
         return cfg.metric_best
     tt = cfg.dataset.task_type
     if "classification_multilabel" in tt:

@@ -981,6 +981,19 @@ def custom_train(cfg, loaders: Dict[str, BatchLoader], model, state: TrainState,
                     s = loggers[split].write_epoch(epoch)
                     history[split].append(s)
             val_hist = history.get("val") or history["train"]
+            if metric not in val_hist[-1] and best_epoch < 0:
+                # switch the SELECTION to loss/argmin for the whole run —
+                # falling back per-epoch while keeping an argmax direction
+                # would pin "best" at the first epoch forever (round 5: a
+                # metric_best/stats-key mismatch poisoned AUROC selection)
+                log.warning(
+                    "selection metric %r missing from %s stats (keys: %s) — "
+                    "selecting on loss (argmin) instead; check "
+                    "cfg.metric_best", metric,
+                    "val" if "val" in loaders else "train",
+                    sorted(val_hist[-1].keys()))
+                metric, agg = "loss", "argmin"
+                better = _metric_cmp(agg)
             cur = val_hist[-1].get(metric, val_hist[-1]["loss"])
             if plateau:
                 schedule.update(cur)

@@ -244,7 +244,7 @@ RECIPES = {
         }),
     # ------------------------------------------------------------ GPS / OGB
     "GPS/ogbg-molhiv-GPS+RWSE.yaml": ("configs/GPS/ogbg-molhiv-GPS+RWSE.yaml", {
-        "metric_best": "auroc",
+        "metric_best": "auc",
         "dataset": mol_ds("ogbg-molhiv", "Atom+RWSE",
                           "classification_binary"),
         "posenc_RWSE": rwse(dim_pe=16, k=17),
@@ -569,7 +569,7 @@ RECIPES = {
     },
     # ------------------------------------------------ OGB-mol PE ablations
     "GPS/ogbg-molhiv-GPS.yaml": ("configs/GPS/ogbg-molhiv-GPS.yaml", {
-        "metric_best": "auroc",
+        "metric_best": "auc",
         "dataset": mol_ds("ogbg-molhiv", "Atom+LapPE",
                           "classification_binary"),
         "posenc_LapPE": lap_pe(max_freqs=8, dim_pe=8),
@@ -582,7 +582,7 @@ RECIPES = {
     }),
     "GPS/ogbg-molhiv-GPS-ESLapPE.yaml": (
         "configs/GPS/ogbg-molhiv-GPS-ESLapPE.yaml", {
-            "metric_best": "auroc",
+            "metric_best": "auc",
             "dataset": mol_ds("ogbg-molhiv", "Atom+EquivStableLapPE",
                               "classification_binary"),
             "posenc_EquivStableLapPE": eslap(8),
@@ -596,7 +596,7 @@ RECIPES = {
         }),
     "GPS/ogbg-molhiv-GPS+RWSEdev.yaml": (
         "configs/GPS/ogbg-molhiv-GPS+RWSEdev.yaml", {
-            "metric_best": "auroc",
+            "metric_best": "auc",
             "dataset": mol_ds("ogbg-molhiv", "Atom+RWSE",
                               "classification_binary"),
             "posenc_RWSE": rwse(dim_pe=16, k=17),
@@ -851,7 +851,7 @@ RECIPES = {
                                         ("coco", "COCO", 100, 5))
     },
     "SAN/ogbg-molhiv-SAN.yaml": ("configs/SAN/ogbg-molhiv-SAN.yaml", {
-        "metric_best": "auroc",
+        "metric_best": "auc",
         "dataset": mol_ds("ogbg-molhiv", "Atom+LapPE",
                           "classification_binary"),
         "posenc_LapPE": lap_pe(max_freqs=10, dim_pe=16, norm="sym",
