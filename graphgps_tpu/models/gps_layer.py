@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -68,6 +70,22 @@ class GPSLayer(nn.Module):
     bigbird_num_random_blocks: int = 3
     bigbird_attention_type: str = "block_sparse"  # or "original_full"
 
+    def _attn_params(self, d):
+        """Packed attention parameters (see the COMPAT NOTE at the use
+        site). self.param is idempotent, so both the merged-front path and
+        the attention section may call this; whoever runs first creates
+        them, identically."""
+        wqkv = self.param(
+            "qkv_kernel",
+            nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal", in_axis=0,
+                out_axis=(1, 2)), (d, 3, d))
+        bqkv = self.param("qkv_bias", nn.initializers.zeros, (3, d))
+        wo = self.param("out_kernel", nn.initializers.lecun_normal(),
+                        (d, d))
+        bo = self.param("out_bias", nn.initializers.zeros, (d,))
+        return wqkv, bqkv, wo, bo
+
     def _attn_tail(self, batch, h_in, h_attn, train: bool, defer: bool):
         """dropout+residual then post-norm of the attention branch
         (reference gps_layer.py:138-160). When ``defer``, the norm runs
@@ -106,7 +124,7 @@ class GPSLayer(nn.Module):
         # static self.layer_index is shared by every layer of the stack)
         from ..ops.pallas.fused_combine import combine_eligible
         from ..parallel.mesh import constrain_nodes
-        from .local_gnn import DeferredXTail
+        from .local_gnn import DeferredXTail, MergedFront
         x = constrain_nodes(x)  # pin canonical DP layout at layer boundary
         h_in = x
         d = self.dim_h
@@ -128,12 +146,74 @@ class GPSLayer(nn.Module):
                               and (d % 128 == 0
                                    or (train and self.dropout > 0))
                               and combine_eligible(x.shape[0], d, self.act))
+                # MERGED front (core + attention in one kernel,
+                # ops/pallas/fused_layer.py): hand the attention weights
+                # into the GatedGCN call as plain arrays. Same dispatch
+                # envelope as the v1 fused attention.
+                attn_pack = None
+                from ..ops.pallas.fused_layer import fused_front_eligible
+                from ..ops.pallas.fused_tail import tail_eligible
+                if (want_defer and self.global_model_type == "Transformer"
+                        and not self.log_attn_weights
+                        and self.attn_impl in ("fused", "auto")
+                        and d % self.num_heads == 0
+                        and (jax.default_backend() == "tpu"
+                             or os.environ.get("GGPS_FUSED_FRONT") == "1")
+                        # the FULL merged envelope, checked here so the
+                        # attention params are created exactly once: with
+                        # attn_pack set, GatedGCNLayer is guaranteed to
+                        # take the merged path (its internal gate checks
+                        # the same conditions)
+                        and fused_front_eligible(batch, x, e, d,
+                                                 self.num_heads,
+                                                 self.equivstable_pe)
+                        and tail_eligible(x.shape[0], d, self.act)
+                        and e is not None
+                        and tail_eligible(e.shape[0], d, self.act)):
+                    wqkv_m, bqkv_m, wo_m, bo_m = self._attn_params(d)
+                    ca = jnp.zeros((d,), jnp.float32)
+                    if not self.is_initializing():
+                        bs = self.variables.get("batch_stats", {})
+                        nb = bs.get("Norm_0", {}).get("MaskedBatchNorm_0",
+                                                      {})
+                        if "mean" in nb:
+                            ca = jax.lax.stop_gradient(nb["mean"])
+                    attn_rate = self.attn_dropout if train else 0.0
+                    drop_rate = self.dropout if train else 0.0
+                    if attn_rate > 0.0 or drop_rate > 0.0:
+                        seed = jax.random.bits(self.make_rng("dropout"), (),
+                                               jnp.uint32).astype(jnp.int32)
+                    else:
+                        seed = jnp.zeros((), jnp.int32)
+                    attn_pack = dict(
+                        wqkv=wqkv_m.reshape(d, 3 * d),
+                        bqkv=bqkv_m.reshape(3 * d), wo=wo_m, bo=bo_m,
+                        ca=ca, seed=seed, H=self.num_heads,
+                        scale=1.0 / float(d // self.num_heads) ** 0.5,
+                        attn_rate=attn_rate, drop_rate=drop_rate)
                 h_local, e = GatedGCNLayer(
                     dim=d, dropout=self.dropout, residual=True, act=self.act,
                     equivstable_pe=self.equivstable_pe,
                     batch_norm=self.batch_norm,
-                    defer_x_tail=want_defer)(batch, x, e, train)
-                if isinstance(h_local, DeferredXTail):
+                    defer_x_tail=want_defer)(batch, x, e, train,
+                                             attn_pack=attn_pack)
+                if isinstance(h_local, MergedFront):
+                    mf = h_local
+                    deferred_local, h_local = mf.x_tail, None
+                    # finalize the attention-branch BatchNorm from the
+                    # kernel's moment partials (same Norm module/params as
+                    # the unmerged path — Norm_0 in this dispatch scope)
+                    cnt_n = jnp.maximum(
+                        batch.node_mask.astype(jnp.float32).sum(), 1.0)
+                    mu_a, va, sc_a, bi_a = Norm(
+                        batch_norm=True, stats_only=True,
+                        eps=self.norm_eps)(
+                            None, batch.node_mask, train,
+                            (mf.pa[0, :d], mf.pa[0, d:], cnt_n, ca))
+                    deferred_attn = (mf.s_attn, mu_a,
+                                     jax.lax.rsqrt(va + self.norm_eps),
+                                     sc_a, bi_a)
+                elif isinstance(h_local, DeferredXTail):
                     deferred_local, h_local = h_local, None
             else:
                 if lt == "GINE":
@@ -164,6 +244,8 @@ class GPSLayer(nn.Module):
 
         # ---- global attention branch -----------------------------------------
         gt = self.global_model_type
+        if deferred_attn is not None:
+            gt = "None"   # the merged front kernel already ran attention
         if gt != "None":
             B, N = batch.num_graphs, batch.max_nodes
             H, Dh = self.num_heads, d // self.num_heads
@@ -183,15 +265,7 @@ class GPSLayer(nn.Module):
             # before it (auto_resume dirs, pretrained.dir) do not restore
             # against the new pytree. Pre-1.0 break, accepted; re-save via
             # a fresh run rather than migrating old trees.
-            wqkv = self.param(
-                "qkv_kernel",
-                nn.initializers.variance_scaling(
-                    1.0, "fan_in", "truncated_normal", in_axis=0,
-                    out_axis=(1, 2)), (d, 3, d))
-            bqkv = self.param("qkv_bias", nn.initializers.zeros, (3, d))
-            wo = self.param("out_kernel", nn.initializers.lecun_normal(),
-                            (d, d))
-            bo = self.param("out_bias", nn.initializers.zeros, (d,))
+            wqkv, bqkv, wo, bo = self._attn_params(d)
 
             # fused Pallas path: QKV proj + masked MHA + out proj in one
             # kernel (ops/pallas/fused_gps_attn.py) — dispatched for small-N

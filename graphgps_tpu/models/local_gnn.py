@@ -45,6 +45,18 @@ def _es_pe_scale(batch: GraphBatch, mlp: nn.Module) -> Optional[jax.Array]:
     return mlp(jnp.sum(diff * diff, axis=-1, keepdims=True))
 
 
+class MergedFront(NamedTuple):
+    """GatedGCNLayer's return when the MERGED layer-front kernel ran
+    (ops/pallas/fused_layer.py): the deferred x-tail PLUS the attention
+    branch's pre-norm residual sum and its moment partials — the GPS layer
+    skips its own attention computation and feeds these straight into the
+    combine+FFN kernel."""
+
+    x_tail: "DeferredXTail"
+    s_attn: jax.Array        # (S, d) flat: x + dropout(attn_out)
+    pa: jax.Array            # (1, 2d) masked moment partials of s_attn
+
+
 class DeferredXTail(NamedTuple):
     """GatedGCNLayer's x-tail handed to the caller unapplied: the GPS layer
     fuses it (BN-apply + act + dropout + residual) into the branch-combine
@@ -77,16 +89,66 @@ class GatedGCNLayer(nn.Module):
     defer_x_tail: bool = False
 
     @nn.compact
-    def __call__(self, batch: GraphBatch, x, e, train: bool):
+    def __call__(self, batch: GraphBatch, x, e, train: bool,
+                 attn_pack: Optional[dict] = None):
         from ..ops.pallas.fused_gatedgcn import (fused_gatedgcn_eligible,
                                                  fused_gatedgcn_padded
                                                  as fused_gatedgcn)
 
         x_in, e_in = x, e
         ggcn_moments = None
+        merged_attn = None
         dA, dB, dC, dD, dE = (nn.Dense(self.dim) for _ in range(5))
-        if fused_gatedgcn_eligible(batch, x, e, self.dim,
-                                   self.equivstable_pe):
+
+        # ---- MERGED layer front: core + attention in ONE kernel ---------
+        # (ops/pallas/fused_layer.py). attn_pack carries the GPS layer's
+        # attention weights/rates as plain arrays — no param-tree change.
+        use_merged = False
+        if attn_pack is not None and self.defer_x_tail:
+            from ..ops.pallas.fused_layer import (fused_front_eligible,
+                                                  fused_gps_front_spmd)
+            from ..ops.pallas.fused_tail import tail_eligible
+            use_merged = (
+                self.batch_norm and self.residual
+                and fused_front_eligible(batch, x, e, self.dim,
+                                         attn_pack["H"],
+                                         self.equivstable_pe)
+                and tail_eligible(x.shape[0], self.dim, self.act)
+                and tail_eligible(e.shape[0], self.dim, self.act))
+        if use_merged:
+            for m, src in ((dA, x), (dB, x), (dC, e), (dD, x), (dE, x)):
+                m(src[:1])
+            k = lambda m: m.variables["params"]["kernel"]   # noqa: E731
+            b = lambda m: m.variables["params"]["bias"]     # noqa: E731
+            B, N, E = batch.num_graphs, batch.max_nodes, batch.edge_block
+            base = (jnp.arange(B, dtype=jnp.int32) * N)[:, None]
+            s_loc = batch.senders.reshape(B, E).astype(jnp.int32) - base
+            r_loc = batch.receivers.reshape(B, E).astype(jnp.int32) - base
+            em = batch.edge_mask.reshape(B, E).astype(x.dtype)
+            nm = batch.node_mask.reshape(B, N).astype(x.dtype)
+            cx, cg = (jnp.zeros((self.dim,), jnp.float32),) * 2
+            if not self.is_initializing():
+                bs = self.variables.get("batch_stats", {})
+                cx = jax.lax.stop_gradient(
+                    bs["Norm_0"]["MaskedBatchNorm_0"]["mean"])
+                cg = jax.lax.stop_gradient(
+                    bs["Norm_1"]["MaskedBatchNorm_0"]["mean"])
+            wnq = jnp.concatenate(
+                [k(dA), k(dD), k(dE), k(dB), attn_pack["wqkv"]], axis=1)
+            bnq = jnp.concatenate(
+                [b(dA), b(dD), b(dE), b(dB), attn_pack["bqkv"]])
+            xo, gate, sa, px, pg, pa = fused_gps_front_spmd(
+                x.reshape(B, N, self.dim), e.reshape(B, E, self.dim),
+                s_loc, r_loc, em, nm, cx, cg, attn_pack["ca"],
+                wnq, bnq, k(dC), b(dC), attn_pack["wo"], attn_pack["bo"],
+                attn_pack["seed"], attn_pack["H"], attn_pack["scale"],
+                attn_pack["attn_rate"], attn_pack["drop_rate"])
+            x_new = xo.reshape(B * N, self.dim)
+            e_gate = gate.reshape(B * E, self.dim)
+            ggcn_moments = (px, pg, cx, cg)
+            merged_attn = (sa.reshape(B * N, self.dim), pa)
+        elif fused_gatedgcn_eligible(batch, x, e, self.dim,
+                                     self.equivstable_pe):
             # fused Pallas core (ops/pallas/fused_gatedgcn.py): one kernel
             # for projections + gathers + gate + masked segment-sum. Create
             # the SAME Dense_0..4 param pytree by probing each module on one
@@ -236,9 +298,14 @@ class GatedGCNLayer(nn.Module):
             if self.defer_x_tail:
                 # hand the unapplied x tail to the GPS layer's combine+FFN
                 # kernel (one launch instead of pre_tail + norm-apply + add)
-                return DeferredXTail(x_in=x_in, v=x_new, mu=mx,
-                                     inv=jax.lax.rsqrt(vx + eps),
-                                     gamma=scx, beta=bix), e_new
+                deferred = DeferredXTail(x_in=x_in, v=x_new, mu=mx,
+                                         inv=jax.lax.rsqrt(vx + eps),
+                                         gamma=scx, beta=bix)
+                if merged_attn is not None:
+                    return MergedFront(x_tail=deferred,
+                                       s_attn=merged_attn[0],
+                                       pa=merged_attn[1]), e_new
+                return deferred, e_new
             if rate > 0.0:
                 seed_x = jax.random.bits(self.make_rng("dropout"), (),
                                          jnp.uint32).astype(jnp.int32)

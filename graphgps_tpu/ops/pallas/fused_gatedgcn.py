@@ -91,15 +91,13 @@ def _bdot(a, b, ca, cb):
                                preferred_element_type=jnp.float32)
 
 
-def _fwd_core(x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref,
-              wc_ref, bc_ref, *, G, N, E, d):
-    """Shared fwd recompute: returns everything the fwd/bwd kernels need."""
+def _core_from_proj(proj, ce, s_ref, r_ref, em_ref, *, G, N, E, d):
+    """GatedGCN gather/gate/aggregate middle from a PRECOMPUTED node
+    projection ``proj`` (G·N, 4d) and edge projection ``ce`` (G·E, d) —
+    shared by the standalone kernels here and the merged layer kernel
+    (ops/pallas/fused_layer.py), which slices them out of a joint matmul."""
     f32 = jnp.float32
     i = pl.program_id(0)
-    x2 = x_ref[:].reshape(G * N, d).astype(f32)
-    e2 = e_ref[:].reshape(G * E, d).astype(f32)
-    proj = _dot(x2, wn_ref[:].astype(f32)) + bn_ref[0].astype(f32)
-    ce = _dot(e2, wc_ref[:].astype(f32)) + bc_ref[0].astype(f32)
     s = s_ref[pl.ds(i * G, G), :]                       # (G, E) i32, local ids
     r = r_ref[pl.ds(i * G, G), :]
     em = em_ref[pl.ds(i * G, G), :].astype(f32)         # (G, E) 1/0
@@ -114,6 +112,19 @@ def _fwd_core(x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref,
     msgs = sig * gs[:, :, d:]
     ohr_m = oh_r * em[:, :, None]
     nd = _bdot(ohr_m, jnp.concatenate([msgs, sig], axis=2), 1, 1)  # (G, N, 2d)
+    return p3, gs, gate, sig, oh_s, oh_r, ohr_m, nd
+
+
+def _fwd_core(x_ref, e_ref, s_ref, r_ref, em_ref, wn_ref, bn_ref,
+              wc_ref, bc_ref, *, G, N, E, d):
+    """Shared fwd recompute: returns everything the fwd/bwd kernels need."""
+    f32 = jnp.float32
+    x2 = x_ref[:].reshape(G * N, d).astype(f32)
+    e2 = e_ref[:].reshape(G * E, d).astype(f32)
+    proj = _dot(x2, wn_ref[:].astype(f32)) + bn_ref[0].astype(f32)
+    ce = _dot(e2, wc_ref[:].astype(f32)) + bc_ref[0].astype(f32)
+    (p3, gs, gate, sig, oh_s, oh_r, ohr_m, nd) = _core_from_proj(
+        proj, ce, s_ref, r_ref, em_ref, G=G, N=N, E=E, d=d)
     return x2, e2, p3, gs, gate, sig, oh_s, oh_r, ohr_m, nd
 
 
